@@ -1,0 +1,267 @@
+"""Deterministic SQL-mirrored derivations of the engine's domain tables.
+
+BASELINE.json's input_hint mandates the engine operate over a Common-Crawl-style
+pages table ``(url, warc_ts, html, text, lang)``; the reference's gazetteer layers
+(batch_georeferencing/queries.py:47-598) provide the candidate side. No external
+data is allowed, so both are **derived deterministically from the driver's testdata
+parquet** (documents / nation / region / part), with every derivation expressible in
+both Spark (DataFrame API, below) and DuckDB SQL (the ``*_CTE`` strings) so the
+driver's oracle can check each relational operator end-to-end.
+
+Mapping (FIXTURES.md):
+- ``documents``  → ``pages``: url pk, warc_ts, html=text bytes (byte-identical
+  extracted-text invariant), lang.
+- page text     → ``mentions``: geoparsed locality strings (first word-pairs) with
+  optional inline coordinates — the analog of ``mg_occurrences.locality``
+  (database/mass_georef_database.sql:134-226).
+- documents + nation⋈region → ``gazetteer``: normalized candidate schema
+  ``(uid, name, stateprovince, data_source, lang, lon, lat, alternatenames,
+  no_features)`` — the P1 projection every reference layer emits
+  (batch_georeferencing/queries.py:57,241,410).
+- region        → ``aoi``: rectangular AOI polygons (mg_polygons analog,
+  database/mass_georef_database.sql:441-447). Rectangles are deliberate: the Spark
+  side runs the real WKB + ray-cast PIP kernel while the oracle checks the same
+  containment with pure bbox arithmetic — an independent cross-check of the kernel.
+- part          → ``elev_grid``: gridded elevation points (raster analog for the
+  zonal kNN lookup, batch_georeferencing/functions.py:145-230).
+
+All arithmetic uses nonnegative integer keys so ``%`` agrees across dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+CRAWL_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+# ---------------------------------------------------------------------------
+# pages
+# ---------------------------------------------------------------------------
+
+
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pages(url, warc_ts, html, text, lang [, doc_id])."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("https://crawl.example/"), F.col("lang"), F.lit("/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(CRAWL_EPOCH) + F.col("doc_id") * F.lit(60)).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
+PAGES_CTE = f"""
+pages AS (
+  SELECT 'https://crawl.example/' || lang || '/' || doc_id AS url,
+         make_timestamp(({CRAWL_EPOCH} + doc_id * 60) * 1000000) AS warc_ts,
+         encode(text) AS html,
+         text,
+         lang,
+         doc_id
+  FROM documents
+)"""
+
+
+# ---------------------------------------------------------------------------
+# mentions (geoparse) — two mention slots per page (words 1-2 and words 4-5),
+# inline coordinates on every 7th page.
+# ---------------------------------------------------------------------------
+
+_COORD_LAT = "(doc_id * 37) % 170 - 85 + 0.5"
+_COORD_LON = "(doc_id * 53) % 360 - 180 + 0.5"
+
+
+def _mention_slot(pages: DataFrame, pat: str) -> DataFrame:
+    has_coords = F.col("doc_id") % 7 == 0
+    return pages.select(
+        F.col("url"),
+        F.col("lang"),
+        F.col("doc_id"),
+        F.regexp_extract(F.col("text"), pat, 1).alias("mention"),
+        F.regexp_extract(F.col("text"), r"^\w+ \w+ (\w+)", 1).alias("state"),
+        F.when(has_coords, (F.col("doc_id") * 37) % 170 - 85 + 0.5).alias("lat"),
+        F.when(has_coords, (F.col("doc_id") * 53) % 360 - 180 + 0.5).alias("lon"),
+    ).where(F.col("mention") != "")
+
+
+def mentions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages → mentions(url, lang, doc_id, mention, state, lat, lon).
+
+    The geoparse analog of the reference's locality column: slot 1 = words 1-2,
+    slot 2 = words 4-5 of the extracted text (deterministic template extraction,
+    FIXTURES.md §1). ``state`` = word 3 (plays ``stateprovince``); ``lang`` plays
+    the blocking role of ``countrycode`` (batch_georeferencing.py:132-138).
+    """
+    pages = pages_df(spark, sf_dir)
+    s1 = _mention_slot(pages, r"^(\w+ \w+)")
+    s2 = _mention_slot(pages, r"^\w+ \w+ \w+ (\w+ \w+)")
+    return s1.unionByName(s2)
+
+
+MENTIONS_CTE = f"""
+mentions AS (
+  SELECT url, lang, doc_id,
+         regexp_extract(text, '^(\\w+ \\w+)', 1) AS mention,
+         regexp_extract(text, '^\\w+ \\w+ (\\w+)', 1) AS state,
+         CASE WHEN doc_id % 7 = 0 THEN {_COORD_LAT} END AS lat,
+         CASE WHEN doc_id % 7 = 0 THEN {_COORD_LON} END AS lon
+  FROM pages
+  WHERE regexp_extract(text, '^(\\w+ \\w+)', 1) <> ''
+  UNION ALL
+  SELECT url, lang, doc_id,
+         regexp_extract(text, '^\\w+ \\w+ \\w+ (\\w+ \\w+)', 1) AS mention,
+         regexp_extract(text, '^\\w+ \\w+ (\\w+)', 1) AS state,
+         CASE WHEN doc_id % 7 = 0 THEN {_COORD_LAT} END AS lat,
+         CASE WHEN doc_id % 7 = 0 THEN {_COORD_LON} END AS lon
+  FROM pages
+  WHERE regexp_extract(text, '^\\w+ \\w+ \\w+ (\\w+ \\w+)', 1) <> ''
+)"""
+
+
+# ---------------------------------------------------------------------------
+# gazetteer — two layers sharing the normalized candidate schema (P1)
+# ---------------------------------------------------------------------------
+
+
+def gazetteer_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized candidate union: 'webnames' (from documents) + 'admin'
+    (nation⋈region, en-only — the P6 layer-gating analog,
+    batch_georeferencing.py:232-393)."""
+    docs = load_table(spark, sf_dir, "documents")
+    name3 = F.regexp_extract(F.col("text"), r"^(\w+ \w+ \w+)", 1)
+    webnames = (
+        docs.where((F.col("doc_id") % 3 == 0) & (name3 != ""))
+        .select(
+            F.concat(F.lit("wn:"), F.col("doc_id")).alias("uid"),
+            name3.alias("name"),
+            F.regexp_extract(F.col("text"), r"^\w+ \w+ (\w+)", 1).alias("stateprovince"),
+            F.lit("webnames").alias("data_source"),
+            F.col("lang"),
+            ((F.col("doc_id") * 53) % 3600) / 10.0 - 180.0 + 0.05,
+            ((F.col("doc_id") * 37) % 1700) / 10.0 - 85.0 + 0.05,
+            F.concat(name3, F.lit(","), F.upper(name3)).alias("alternatenames"),
+            (F.lit(1) + F.col("doc_id") % 4).cast("int").alias("no_features"),
+        )
+        .toDF(
+            "uid", "name", "stateprovince", "data_source", "lang",
+            "lon", "lat", "alternatenames", "no_features",
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    admin = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat(F.lit("adm:"), F.col("n_nationkey")).alias("uid"),
+            F.replace(F.lower(F.col("n_name")), F.lit("_"), F.lit(" ")).alias("name"),
+            F.lower(F.col("r_name")).alias("stateprovince"),
+            F.lit("admin").alias("data_source"),
+            F.lit("en").alias("lang"),
+            ((F.col("n_nationkey") * 139) % 360 - 180 + 0.25).cast("double").alias("lon"),
+            ((F.col("n_nationkey") * 83) % 170 - 85 + 0.25).cast("double").alias("lat"),
+            F.concat(
+                F.replace(F.lower(F.col("n_name")), F.lit("_"), F.lit(" ")),
+                F.lit(","),
+                F.lower(F.col("n_name")),
+            ).alias("alternatenames"),
+            F.lit(1).alias("no_features"),
+        )
+    )
+    return webnames.unionByName(admin)
+
+
+GAZETTEER_CTE = """
+gazetteer AS (
+  SELECT 'wn:' || doc_id AS uid,
+         regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) AS name,
+         regexp_extract(text, '^\\w+ \\w+ (\\w+)', 1) AS stateprovince,
+         'webnames' AS data_source,
+         lang,
+         ((doc_id * 53) % 3600) / 10.0 - 180.0 + 0.05 AS lon,
+         ((doc_id * 37) % 1700) / 10.0 - 85.0 + 0.05 AS lat,
+         regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) || ',' ||
+           upper(regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1)) AS alternatenames,
+         CAST(1 + doc_id % 4 AS INTEGER) AS no_features
+  FROM documents
+  WHERE doc_id % 3 = 0 AND regexp_extract(text, '^(\\w+ \\w+ \\w+)', 1) <> ''
+  UNION ALL
+  SELECT 'adm:' || n_nationkey,
+         replace(lower(n_name), '_', ' '),
+         lower(r_name),
+         'admin',
+         'en',
+         CAST((n_nationkey * 139) % 360 - 180 + 0.25 AS DOUBLE),
+         CAST((n_nationkey * 83) % 170 - 85 + 0.25 AS DOUBLE),
+         replace(lower(n_name), '_', ' ') || ',' || lower(n_name),
+         1
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)"""
+
+
+# ---------------------------------------------------------------------------
+# aoi — rectangular project polygons (bbox-checkable by the oracle)
+# ---------------------------------------------------------------------------
+
+
+def aoi_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → aoi(polygon_id, min_lon, min_lat, max_lon, max_lat)."""
+    region = load_table(spark, sf_dir, "region")
+    return region.select(
+        F.concat(F.lit("aoi:"), F.col("r_regionkey")).alias("polygon_id"),
+        (F.col("r_regionkey") * 60 - 170).cast("double").alias("min_lon"),
+        (F.col("r_regionkey") * 30 - 80).cast("double").alias("min_lat"),
+        (F.col("r_regionkey") * 60 - 120).cast("double").alias("max_lon"),
+        (F.col("r_regionkey") * 30 - 40).cast("double").alias("max_lat"),
+    )
+
+
+AOI_CTE = """
+aoi AS (
+  SELECT 'aoi:' || r_regionkey AS polygon_id,
+         CAST(r_regionkey * 60 - 170 AS DOUBLE) AS min_lon,
+         CAST(r_regionkey * 30 - 80 AS DOUBLE) AS min_lat,
+         CAST(r_regionkey * 60 - 120 AS DOUBLE) AS max_lon,
+         CAST(r_regionkey * 30 - 40 AS DOUBLE) AS max_lat
+  FROM region
+)"""
+
+
+# ---------------------------------------------------------------------------
+# elev_grid — raster analog (gridded elevation points)
+# ---------------------------------------------------------------------------
+
+
+def elevation_grid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → elev_grid(grid_id, lon, lat, elev_m)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("grid_id"),
+        (((F.col("p_partkey") * 7) % 360) - 180 + 0.5).cast("double").alias("lon"),
+        (((F.col("p_partkey") * 11) % 170) - 85 + 0.5).cast("double").alias("lat"),
+        ((F.col("p_partkey") * 13) % 3000).cast("double").alias("elev_m"),
+    )
+
+
+ELEV_CTE = """
+elev_grid AS (
+  SELECT p_partkey AS grid_id,
+         CAST((p_partkey * 7) % 360 - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST((p_partkey * 11) % 170 - 85 + 0.5 AS DOUBLE) AS lat,
+         CAST((p_partkey * 13) % 3000 AS DOUBLE) AS elev_m
+  FROM part
+)"""
+
+
+ALL_CTES = (PAGES_CTE, MENTIONS_CTE, GAZETTEER_CTE, AOI_CTE, ELEV_CTE)
+
+
+def with_ctes(sql: str, *ctes: str) -> str:
+    """Prefix a DuckDB query with the derived-table WITH clause."""
+    use = ctes or ALL_CTES
+    return "WITH " + ",".join(c.strip() for c in use) + "\n" + sql
