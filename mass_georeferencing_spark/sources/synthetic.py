@@ -248,6 +248,37 @@ def elevation_grid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aoi_wkb_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOI rectangles as real WKB polygons (the engine's PIP/zonal input shape).
+
+    The oracle checks containment with bbox arithmetic on the same bounds, so the
+    WKB codec + ray-cast kernel get an independent end-to-end cross-check.
+    """
+    import pandas as pd
+
+    from ..functions.geo import wkb_polygon
+
+    def to_wkb(batches):
+        import numpy as np
+
+        for pdf in batches:
+            wkbs = []
+            for _, r in pdf.iterrows():
+                ring = np.array(
+                    [
+                        [r.min_lon, r.min_lat],
+                        [r.max_lon, r.min_lat],
+                        [r.max_lon, r.max_lat],
+                        [r.min_lon, r.max_lat],
+                        [r.min_lon, r.min_lat],
+                    ]
+                )
+                wkbs.append(wkb_polygon([ring]))
+            yield pd.DataFrame({"polygon_id": pdf.polygon_id, "geom_wkb": wkbs})
+
+    return aoi_df(spark, sf_dir).mapInPandas(to_wkb, "polygon_id string, geom_wkb binary")
+
+
 ELEV_CTE = """
 elev_grid AS (
   SELECT p_partkey AS grid_id,
