@@ -1,0 +1,314 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Not present in the reference (its A3/A4 GROUP-BY dedup collapses exact duplicate
+gazetteer rows, batch_georeferencing/queries.py:32,57) — these extend that family
+to the near-duplicate detection a 100 TB Common-Crawl pipeline needs:
+
+- exact: content-hash group-by (one shuffle, map-side combine).
+- MinHash + LSH: shingle → k minhashes → b bands; equi-join on (band, band-hash)
+  replaces the O(n²) pair space with per-bucket candidate pairs; exact Jaccard
+  verify on the survivors only.
+- SimHash: 64-bit fingerprints; banded equality probe + Hamming-distance verify
+  (popcount of xor — pure JVM bit math).
+- n-gram Jaccard: exact verify kernel, also usable standalone within blocks.
+- embedding cosine: near-dup pairs above a cosine threshold, JVM-side
+  zip_with/aggregate arithmetic (oracle-checkable).
+
+Scale notes: every stage is one equi-join or group-by on a hash key — no cross
+join materializes. Minhash/simhash signatures are computed in one Arrow pass
+(crc32-based shingle hashing, numpy min-reduction — no per-row Python dispatch).
+Band fan-out is b rows per doc (b≈16): bounded, skew-free (hash keys).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+MERSENNE_P = (1 << 61) - 1
+N_PERMS = 64
+N_BANDS = 16  # 4 rows per band
+
+_rng = np.random.RandomState(42)
+_PERM_A = _rng.randint(1, MERSENNE_P, size=N_PERMS, dtype=np.int64)
+_PERM_B = _rng.randint(0, MERSENNE_P, size=N_PERMS, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 content hash → keep min-id representative + multiplicity.
+    One shuffle on the hash; count/min combine map-side."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash kernels (numpy, Arrow-batch)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: str, k: int = 5) -> set[bytes]:
+    b = text.encode("utf-8", "ignore")
+    if len(b) <= k:
+        return {b} if b else set()
+    return {b[i : i + k] for i in range(len(b) - k + 1)}
+
+
+def word_shingles(text: str, k: int = 3) -> set[bytes]:
+    words = text.split()
+    if len(words) <= k:
+        return {" ".join(words).encode()} if words else set()
+    return {" ".join(words[i : i + k]).encode() for i in range(len(words) - k + 1)}
+
+
+def _shingle_hashes(sh: set[bytes]) -> np.ndarray:
+    """Deterministic 32-bit hashes (crc32) of a shingle set."""
+    return np.fromiter((zlib.crc32(s) for s in sh), dtype=np.int64, count=len(sh))
+
+
+def minhash_signature(text: str, k: int = 5, kind: str = "char") -> np.ndarray:
+    """(N_PERMS,) int64 minhash signature via universal hashing
+    h_i(x) = (a_i*x + b_i) mod p over crc32 shingle hashes."""
+    sh = char_shingles(text, k) if kind == "char" else word_shingles(text, k)
+    if not sh:
+        return np.zeros(N_PERMS, dtype=np.int64)
+    h = _shingle_hashes(sh)  # (s,)
+    # (s, 1) * (perms,) -> (s, perms); python-int math avoids int64 overflow via
+    # objects? no — use uint64 modular trick: p = 2^61-1 fits; a*x can overflow
+    # int64, so do it in python ints per perm on the (small) unique hash set.
+    out = np.empty(N_PERMS, dtype=np.int64)
+    hs = h.tolist()
+    for i in range(N_PERMS):
+        a = int(_PERM_A[i])
+        b = int(_PERM_B[i])
+        out[i] = min(((a * x + b) % MERSENNE_P) for x in hs)
+    return out
+
+
+def jaccard(a: set[bytes], b: set[bytes]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (crc32-seeded splitmix64 per token)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        x = np.uint64(zlib.crc32(w.encode()) + 1)
+        # splitmix64 finalizer → well-mixed 64 bits
+        x = np.uint64((int(x) + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = int(x)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        bits = np.fromiter(((z >> i) & 1 for i in range(64)), dtype=np.int64, count=64)
+        acc += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    # map to signed int64 for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    kind: str = "char",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """docs → (doc_id, band, band_hash): b rows per doc (LSH bucket keys)."""
+    rows_per_band = N_PERMS // n_bands
+    schema = StructType(
+        [
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("band", LongType()),
+            StructField("band_hash", LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands, hashes = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sig = minhash_signature(text or "", k, kind)
+                for b in range(n_bands):
+                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                    bh = zlib.crc32(chunk.tobytes()) | (b << 32)
+                    ids.append(did)
+                    bands.append(b)
+                    hashes.append(bh)
+            yield pd.DataFrame({id_col: ids, "band": bands, "band_hash": hashes})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket. Output (id_a, id_b),
+    id_a < id_b, distinct."""
+    bands = minhash_bands(docs, text_col, id_col, **kw)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    kind: str = "char",
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold.
+    Joins each side's text (hash joins), computes in one Arrow pass."""
+    t_a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    t_b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    joined = pairs.join(t_a, "id_a").join(t_b, "id_b")
+
+    @F.pandas_udf(DoubleType())
+    def jacc(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        mk = char_shingles if kind == "char" else word_shingles
+        return pd.Series(
+            [jaccard(mk(x or "", k), mk(y or "", k)) for x, y in zip(ta, tb)],
+            index=ta.index,
+            dtype="float64",
+        )
+
+    return (
+        joined.withColumn("jaccard", jacc(F.col("_ta"), F.col("_tb")))
+        .where(F.col("jaccard") >= threshold)
+        .drop("_ta", "_tb")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, threshold: float = 0.7, **kw
+) -> DataFrame:
+    """MinHash LSH → exact-Jaccard-verified near-duplicate pairs."""
+    pairs = minhash_candidate_pairs(docs, **kw)
+    return ngram_jaccard_verify(pairs, docs, threshold=threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """docs → (doc_id, simhash) — 64-bit fingerprint per doc."""
+
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash64(t or "") for t in texts], index=texts.index, dtype="int64")
+
+    return docs.select(id_col, sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into ``n_bands`` chunks (pigeonhole:
+    hamming ≤ n_bands-1 guarantees an exact band match), probe by band equality,
+    verify with JVM popcount(xor) ≤ max_hamming."""
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    width = 64 // n_bands
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val")
+    pairs = (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (pure JVM arithmetic — oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns via zip_with + aggregate
+    (whole-stage codegen; no Python)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Near-dup vector pairs with cosine ≥ threshold, blocked by ``block_col``
+    (cluster/label/LSH bucket) so the pair space stays per-block quadratic, not
+    global. All arithmetic JVM-side."""
+    e = embeddings.withColumn("_v", F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    on = [block_col] if block_col else []
+    a = e.select(*on, F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = e.select(*on, F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, on=on) if on else a.crossJoin(b)
+    pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+    )

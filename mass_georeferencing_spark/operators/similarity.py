@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Corpus-curation extension (not in the reference — its nearest-neighbor op is the
+spatial kNN J6, batch_georeferencing/functions.py:170). Two strategies:
+
+- **brute-force top-k** (the correctness baseline): broadcast the (small) query
+  set, join against the corpus, cosine via JVM zip_with/aggregate (whole-stage
+  codegen — no Python), per-query top-k window. One pass over the corpus;
+  embarrassingly parallel; the right answer at any scale where queries are few.
+- **IVF (inverted-file) top-k** (the scale path): k-means-style coarse centroids
+  (deterministic subset seed), every corpus vector assigned to its nearest
+  centroid (one broadcast join + top-1 window), queries probe only their
+  ``nprobe`` nearest centroid partitions. Cuts scanned fraction to
+  nprobe/n_centroids; recall verified against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine_col
+
+
+def _as_double(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.transform(F.col(vec_col), lambda x: x.cast("double")))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Output: (query_id, vec_id, cosine, rank)."""
+    q = _as_double(queries, vec_col, "_qv").select(query_id, "_qv")
+    c = _as_double(corpus, vec_col, "_cv").select(corpus_id, "_cv")
+    joined = c.crossJoin(F.broadcast(q))
+    scored = joined.withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF build: nearest centroid per corpus vector (broadcast join + top-1).
+    Output: corpus columns + centroid_id."""
+    c = _as_double(corpus, vec_col, "_cv")
+    cent = _as_double(centroids, vec_col, "_zv").select(centroid_id, "_zv")
+    joined = c.crossJoin(F.broadcast(cent)).withColumn(
+        "_sim", cosine_col(F.col("_cv"), F.col("_zv"))
+    )
+    w = Window.partitionBy(corpus_id).orderBy(
+        F.round(F.col("_sim"), 9).desc(), F.col(centroid_id).asc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_sim", "_zv", "_cv")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seed centroids deterministically: the n lowest-md5-hash corpus vectors
+    (a reproducible 'random' sample — same trick as W5)."""
+    return (
+        corpus.orderBy(F.md5(F.col(corpus_id).cast("string")).asc(), F.col(corpus_id).asc())
+        .limit(n_centroids)
+        .select(F.col(corpus_id).alias("centroid_id"), vec_col)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest centroid buckets per query, exact
+    top-k within the probed subset. Output: (query_id, vec_id, cosine, rank)."""
+    centroids = deterministic_centroids(corpus, n_centroids, corpus_id, vec_col)
+    assigned = assign_centroids(corpus, centroids, corpus_id, "centroid_id", vec_col)
+
+    # queries → their nprobe nearest centroids
+    probes = brute_force_topk(
+        queries,
+        centroids.withColumnRenamed("centroid_id", "_cid"),
+        k=nprobe,
+        query_id=query_id,
+        corpus_id="_cid",
+        vec_col=vec_col,
+    ).select(query_id, F.col("_cid").alias("centroid_id"))
+
+    q = _as_double(queries, vec_col, "_qv").select(query_id, "_qv")
+    candidates = (
+        assigned.join(F.broadcast(probes), on="centroid_id")
+        .join(F.broadcast(q), on=query_id)
+    )
+    c = _as_double(candidates, vec_col, "_cv")
+    scored = c.withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round(F.col("cosine"), 6).alias("cosine"), "rank")
+    )

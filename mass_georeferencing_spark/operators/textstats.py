@@ -1,0 +1,165 @@
+"""Text analysis for corpus curation: quality scoring, token counting,
+language-ID, document fingerprinting.
+
+Extensions beyond the reference (whose only text analytics are the fuzzy scores
+and stopword strip, batch_georeferencing/batch_georeferencing.py:149): the ops a
+training-data pipeline runs over every page. Quality metrics and token counts are
+pure JVM expressions (codegen + DuckDB-oracle-checkable); language-ID uses a
+char-trigram profile kernel in an Arrow batch UDF.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ..functions.textnorm import ENGLISH_STOPWORDS
+
+
+# ---------------------------------------------------------------------------
+# quality metrics (JVM expressions)
+# ---------------------------------------------------------------------------
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+TOKEN_COUNT_SQL = (
+    "CASE WHEN trim({t}) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
+)
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: n_chars, n_tokens, avg_token_len, punct_ratio,
+    stopword_ratio, digit_ratio — all codegen'd JVM expressions."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    words = F.split(F.trim(t), r"\s+")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return docs.withColumns(
+        {
+            "n_chars": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "avg_token_len": F.round(
+                (F.length(F.regexp_replace(t, r"\s+", "")) / safe_tokens).cast("double"), 4
+            ),
+            "punct_ratio": F.round((n_punct / safe_chars).cast("double"), 4),
+            "stopword_ratio": F.round((n_stop / safe_tokens).cast("double"), 4),
+            "digit_ratio": F.round((n_digit / safe_chars).cast("double"), 4),
+        }
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-100 quality score from the metrics (heuristic banding in the
+    spirit of the reference's score bands, functions.py:71-79)."""
+    m = quality_metrics(docs, text_col)
+    length_score = (
+        F.when(F.col("n_tokens") < 10, F.lit(20))
+        .when(F.col("n_tokens") < 50, F.lit(70))
+        .when(F.col("n_tokens") <= 5000, F.lit(100))
+        .otherwise(F.lit(60))
+    )
+    punct_score = F.when(F.col("punct_ratio") > 0.2, F.lit(30)).otherwise(F.lit(100))
+    stop_score = (
+        F.when(F.col("stopword_ratio") < 0.05, F.lit(40))
+        .when(F.col("stopword_ratio") > 0.6, F.lit(50))
+        .otherwise(F.lit(100))
+    )
+    return m.withColumn(
+        "quality",
+        F.round((length_score + punct_score + stop_score) / 3.0, 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (JVM md5 + winnowing kernel)
+# ---------------------------------------------------------------------------
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalization-stable md5 fingerprint: lowercase, collapse whitespace."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+FINGERPRINT_SQL = "md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
+
+
+def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): min crc32 hash per sliding window of
+    k-gram hashes — position-robust local fingerprints for near-dup detection."""
+    b = text.encode("utf-8", "ignore")
+    if len(b) < k:
+        return [zlib.crc32(b)] if b else []
+    hashes = [zlib.crc32(b[i : i + k]) for i in range(len(b) - k + 1)]
+    if len(hashes) <= window:
+        return [min(hashes)]
+    out: list[int] = []
+    prev = -1
+    for i in range(len(hashes) - window + 1):
+        m = min(hashes[i : i + window])
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# language identification (char-trigram profiles, Arrow UDF)
+# ---------------------------------------------------------------------------
+
+
+def build_lang_profiles(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang", top_n: int = 300
+) -> dict[str, dict[str, float]]:
+    """Train per-language char-trigram frequency profiles from a labeled sample.
+    Driver-side over a collected sample — profiles are tiny and broadcast."""
+    sample = docs.select(lang_col, text_col).toPandas()
+    profiles: dict[str, dict[str, float]] = {}
+    for lang, grp in sample.groupby(lang_col):
+        counts: Counter[str] = Counter()
+        for t in grp[text_col]:
+            t = f"  {t or ''} ".lower()
+            counts.update(t[i : i + 3] for i in range(len(t) - 2))
+        total = sum(counts.values()) or 1
+        profiles[lang] = {g: c / total for g, c in counts.most_common(top_n)}
+    return profiles
+
+
+def language_id_udf(profiles: dict[str, dict[str, float]]):
+    """Vectorized language-ID: cosine-ish overlap score vs each profile."""
+
+    @F.pandas_udf(StringType())
+    def lang_id(texts: pd.Series) -> pd.Series:
+        langs = sorted(profiles)
+
+        def classify(t: str) -> str:
+            t = f"  {t or ''} ".lower()
+            grams = Counter(t[i : i + 3] for i in range(len(t) - 2))
+            total = sum(grams.values()) or 1
+            best, best_score = langs[0] if langs else "", -1.0
+            for lang in langs:
+                prof = profiles[lang]
+                score = sum(min(c / total, prof.get(g, 0.0)) for g, c in grams.items())
+                if score > best_score:
+                    best, best_score = lang, score
+            return best
+
+        return texts.map(classify)
+
+    return lang_id

@@ -1,0 +1,359 @@
+"""Driver-contract batch 2: corpus-curation + remaining relational operators.
+
+Merged into __spark_entry__.queries()/oracle_sql(). Same rules: every Spark
+callable has a DuckDB twin unless the op is not SQL-expressible (minhash/simhash
+LSH, language-ID) — those ship rows-only and are pinned by tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cells import Y_BITS
+from ..operators import dedup, multimodal, similarity, textstats, zonal
+from ..operators.record_groups import build_record_groups, group_id
+from ..sources import synthetic as syn
+from ..sources.tables import load_table
+
+
+def _sql_quote(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+_STOPS_SQL = "[" + ", ".join(_sql_quote(w) for w in textstats.ENGLISH_STOPWORDS) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Spark callables
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.42, block_col="label"
+    )
+
+
+def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(queries, emb, k=5)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: IVF recall is verified against brute force in tests/test_similarity.py
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3)
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.quality_metrics(docs).drop("text")
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.content_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: trigram-profile classifier (tests pin accuracy on the labeled set)
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = textstats.build_lang_profiles(docs.limit(200))
+    udf = textstats.language_id_udf(profiles)
+    return docs.select("doc_id", "lang", udf(F.col("text")).alias("pred_lang"))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: LSH banding not SQL-expressible (tests pin recall vs exact jaccard)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: pinned by tests/test_dedup.py
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=10)
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raster = zonal.rasterize_points(syn.elevation_grid_df(spark, sf_dir), res=3)
+    aoi = syn.aoi_wkb_df(spark, sf_dir)
+    return zonal.zonal_stats(aoi, raster, res=3)
+
+
+def _q_j12_signflip_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import pip_join
+
+    m = (
+        syn.mentions_df(spark, sf_dir)
+        .where(F.col("lat").isNotNull())
+        .dropDuplicates(["url"])
+        .select("url", "lat", "lon")
+    )
+    variants = m.select(
+        "url",
+        F.explode(
+            F.array(
+                F.struct(F.lit("as_is").alias("variant"), F.col("lat").alias("lat"), F.col("lon").alias("lon")),
+                F.struct(F.lit("neg_lat").alias("variant"), (-F.col("lat")).alias("lat"), F.col("lon").alias("lon")),
+                F.struct(F.lit("neg_lon").alias("variant"), F.col("lat").alias("lat"), (-F.col("lon")).alias("lon")),
+                F.struct(F.lit("neg_both").alias("variant"), (-F.col("lat")).alias("lat"), (-F.col("lon")).alias("lon")),
+            )
+        ).alias("v"),
+    ).select("url", F.col("v.variant").alias("variant"), F.col("v.lat").alias("lat"), F.col("v.lon").alias("lon"))
+    aoi = syn.aoi_wkb_df(spark, sf_dir)
+    return pip_join(variants, aoi, strategy="broadcast", res=4).select(
+        "url", "variant", "polygon_id"
+    )
+
+
+def _q_j10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = build_record_groups(syn.mentions_df(spark, sf_dir))
+    cands = syn.gazetteer_df(spark, sf_dir)
+    matched = (
+        groups.join(cands, on="lang")
+        .where(F.instr(F.col("name"), F.col("mention")) > 0)
+        .select("recgroup_id")
+    )
+    return groups.join(matched, on="recgroup_id", how="left_semi").select(
+        "recgroup_id", "lang", "mention"
+    )
+
+
+def _q_j11_export_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way export star join (export_downloads/export.R:78-117): selected
+    candidate (top-1 per group by no_features/uid) ⋈ groups ⋈ gazetteer ⋈ pages."""
+    from ..operators.topk import topk_per_group
+
+    groups = build_record_groups(syn.mentions_df(spark, sf_dir))
+    cands = syn.gazetteer_df(spark, sf_dir)
+    matched = (
+        groups.join(cands, on="lang")
+        .where(F.instr(F.col("name"), F.col("mention")) > 0)
+        .withColumn("candidate_id", group_id(F.col("recgroup_id"), F.col("uid"), F.col("data_source")))
+    )
+    selected = topk_per_group(
+        matched, ["recgroup_id"], ["no_features"], k=1, tiebreak_col="uid"
+    ).select("recgroup_id", "candidate_id", "uid", "name", "data_source")
+    mentions = syn.mentions_df(spark, sf_dir).select(
+        "url", "lang", "mention",
+        F.coalesce(F.col("state"), F.lit("")).alias("state"),
+    )
+    g = groups.select("recgroup_id", "lang", "mention", "state")
+    return (
+        selected.join(g, on="recgroup_id")
+        .join(mentions, on=["lang", "mention", "state"])
+        .select("url", "recgroup_id", "candidate_id", "uid", "name", "data_source")
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media_from_pages(syn.pages_df(spark, sf_dir))
+    return multimodal.decode_and_embed(media).select("media_id", "n_bytes", "content_hash")
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media_from_pages(syn.pages_df(spark, sf_dir))
+    return multimodal.frame_sample(media, every_s=2.0)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
+
+
+def queries_ext() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_minhash_pairs,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "emb_near_dup": _q_emb_near_dup,
+        "ann_brute_topk": _q_ann_brute_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_id": _q_lang_id,
+        "zonal_stats": _q_zonal_stats,
+        "j12_signflip_pip": _q_j12_signflip_pip,
+        "j10_semi_join": _q_j10_semi_join,
+        "j11_export_join": _q_j11_export_join,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_sample": _q_frame_sample,
+    }
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {r})"
+)
+
+
+def oracle_ext() -> dict[str, str]:
+    W = syn.with_ctes
+    n3 = 1 << 3  # zonal res
+    cellx = f"least(greatest(cast(floor((lon+180.0)/360.0*{n3}.0) as bigint),0),{n3 - 1})"
+    celly = f"least(greatest(cast(floor((lat+90.0)/180.0*{n3}.0) as bigint),0),{n3 - 1})"
+    return {
+        "dedup_exact": (
+            "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
+            " count(*) AS n_dupes FROM documents GROUP BY md5(text)"
+        ),
+        "emb_near_dup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COS.format(a="a.v", b="b.v", r=6)} AS cosine
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) a
+            JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings) b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.42
+        """,
+        "ann_brute_topk": f"""
+            SELECT query_id, vec_id, cosine, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     {_COS.format(a="q.v", b="c.v", r=6)} AS cosine,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_COS.format(a="q.v", b="c.v", r=9)} DESC, c.vec_id ASC)
+                       AS INTEGER) AS rank
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5) q
+              CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) c)
+            WHERE rank <= 5
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   round(length(regexp_replace(text, '\\s+', '', 'g')) /
+                     greatest(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE, 4) AS avg_token_len,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+                   round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> list_contains({_STOPS_SQL}, x)))
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE, 4) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / greatest(length(text), 1)::DOUBLE, 4) AS digit_ratio
+            FROM documents
+        """,
+        "text_fingerprint": (
+            "SELECT doc_id, "
+            + textstats.FINGERPRINT_SQL.format(t="text")
+            + " AS fingerprint FROM documents"
+        ),
+        "zonal_stats": W(
+            f"""
+            SELECT polygon_id, round(avg(cell_val), 4) AS mean_val,
+                   min(cell_val) AS min_val, max(cell_val) AS max_val,
+                   count(*) AS n_cells
+            FROM (
+              SELECT a.polygon_id, r.cell_val
+              FROM aoi a JOIN (
+                SELECT {cellx} AS cx, {celly} AS cy, avg(elev_m) AS cell_val
+                FROM elev_grid GROUP BY 1, 2) r
+              ON r.cx BETWEEN least(greatest(cast(floor((a.min_lon+180.0)/360.0*{n3}.0) as bigint),0),{n3 - 1})
+                          AND least(greatest(cast(floor((a.max_lon+180.0)/360.0*{n3}.0) as bigint),0),{n3 - 1})
+             AND r.cy BETWEEN least(greatest(cast(floor((a.min_lat+90.0)/180.0*{n3}.0) as bigint),0),{n3 - 1})
+                          AND least(greatest(cast(floor((a.max_lat+90.0)/180.0*{n3}.0) as bigint),0),{n3 - 1}))
+            GROUP BY polygon_id
+            """,
+            syn.AOI_CTE,
+            syn.ELEV_CTE,
+        ),
+        "j12_signflip_pip": W(
+            """
+            SELECT v.url, v.variant, a.polygon_id
+            FROM (
+              SELECT url, 'as_is' AS variant, lat, lon FROM m
+              UNION ALL SELECT url, 'neg_lat', -lat, lon FROM m
+              UNION ALL SELECT url, 'neg_lon', lat, -lon FROM m
+              UNION ALL SELECT url, 'neg_both', -lat, -lon FROM m) v
+            JOIN aoi a ON v.lon > a.min_lon AND v.lon < a.max_lon
+                      AND v.lat > a.min_lat AND v.lat < a.max_lat
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+            syn.AOI_CTE,
+            """m AS (SELECT url, any_value(lat) AS lat, any_value(lon) AS lon
+               FROM mentions WHERE lat IS NOT NULL GROUP BY url)""",
+        ),
+        "j10_semi_join": W(
+            """
+            SELECT recgroup_id, lang, mention FROM rg
+            WHERE recgroup_id IN (
+              SELECT rg2.recgroup_id FROM rg rg2
+              JOIN gazetteer g ON g.lang = rg2.lang
+              WHERE strpos(g.name, rg2.mention) > 0)
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+            syn.GAZETTEER_CTE,
+            """rg AS (
+              SELECT md5(concat_ws('|', lang, mention, state)) AS recgroup_id,
+                     lang, mention, state
+              FROM (SELECT lang, mention, coalesce(state, '') AS state
+                    FROM mentions
+                    WHERE lower(mention) NOT IN ('none', 'unknown', 'no locality data'))
+              GROUP BY lang, mention, state)""",
+        ),
+        "j11_export_join": W(
+            """
+            SELECT mn.url, s.recgroup_id, s.candidate_id, s.uid, s.name, s.data_source
+            FROM (SELECT * FROM (
+                    SELECT rg.recgroup_id,
+                           md5(concat_ws('|', rg.recgroup_id, g.uid, g.data_source)) AS candidate_id,
+                           g.uid, g.name, g.data_source,
+                           ROW_NUMBER() OVER (PARTITION BY rg.recgroup_id
+                             ORDER BY g.no_features DESC, g.uid ASC) AS rn
+                    FROM rg JOIN gazetteer g ON g.lang = rg.lang
+                    WHERE strpos(g.name, rg.mention) > 0)
+                  WHERE rn = 1) s
+            JOIN rg ON s.recgroup_id = rg.recgroup_id
+            JOIN (SELECT url, lang, mention, coalesce(state, '') AS state FROM mentions) mn
+              ON mn.lang = rg.lang AND mn.mention = rg.mention AND mn.state = rg.state
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+            syn.GAZETTEER_CTE,
+            """rg AS (
+              SELECT md5(concat_ws('|', lang, mention, state)) AS recgroup_id,
+                     lang, mention, state
+              FROM (SELECT lang, mention, coalesce(state, '') AS state
+                    FROM mentions
+                    WHERE lower(mention) NOT IN ('none', 'unknown', 'no locality data'))
+              GROUP BY lang, mention, state)""",
+        ),
+        "multimodal_features": W(
+            """
+            SELECT md5(url) AS media_id,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM pages
+            """,
+            syn.PAGES_CTE,
+        ),
+        "multimodal_frame_sample": W(
+            """
+            SELECT md5(url) AS media_id,
+                   unnest(generate_series(0, greatest(CAST(floor(((doc_id % 600) / 10.0 + 0.1) / 2.0) AS INTEGER), 1) - 1)) AS frame_idx,
+                   unnest(generate_series(0, greatest(CAST(floor(((doc_id % 600) / 10.0 + 0.1) / 2.0) AS INTEGER), 1) - 1)) * 2.0 AS frame_ts_s
+            FROM pages
+            """,
+            syn.PAGES_CTE,
+        ),
+    }

@@ -1,0 +1,94 @@
+"""Dedup operator tests: exact, minhash-LSH recall, simhash, jaccard kernels."""
+
+import numpy as np
+import pytest
+
+from mass_georeferencing_spark.operators import dedup
+
+from .conftest import SF_DIR
+
+
+def test_char_shingles():
+    s = dedup.char_shingles("abcdef", 5)
+    assert s == {b"abcde", b"bcdef"}
+    assert dedup.char_shingles("", 5) == set()
+    assert dedup.char_shingles("ab", 5) == {b"ab"}
+
+
+def test_jaccard_kernel():
+    a = dedup.char_shingles("the quick brown fox", 5)
+    assert dedup.jaccard(a, a) == 1.0
+    assert dedup.jaccard(a, set()) == 0.0
+    assert dedup.jaccard(set(), set()) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = "the quick brown fox jumps over the lazy cat " * 5
+    s1 = dedup.minhash_signature(t1)
+    s2 = dedup.minhash_signature(t2)
+    est = float(np.mean(s1 == s2))
+    true = dedup.jaccard(dedup.char_shingles(t1), dedup.char_shingles(t2))
+    assert abs(est - true) < 0.25  # 64 perms → coarse but unbiased
+    # identical text → identical signature
+    assert (dedup.minhash_signature(t1) == s1).all()
+
+
+def test_simhash_similar_texts_close():
+    t1 = "spark table scan merge join order batch stream window " * 3
+    t2 = t1 + "extra"
+    h1, h2 = dedup.simhash64(t1), dedup.simhash64(t2)
+    ham = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8
+    h3 = dedup.simhash64("completely different vocabulary entirely unrelated words")
+    assert bin((h1 ^ h3) & ((1 << 64) - 1)).count("1") > ham
+
+
+def test_exact_dedup_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb")], ["doc_id", "text"]
+    )
+    out = {r.content_hash: (r.keep_id, r.n_dupes) for r in dedup.exact_dedup(df).collect()}
+    assert len(out) == 2
+    vals = sorted(out.values())
+    assert vals == [(1, 2), (3, 1)]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = [
+        (1, base),
+        (2, base.replace("dog", "cat")),       # near-dup of 1
+        (3, "totally different text about spark dataframes and shuffles " * 4),
+        (4, base),                              # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(df, threshold=0.6).collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs or (2, 4) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_pairs_spark(spark):
+    base = "spark table scan merge join order batch stream window row column " * 3
+    rows = [(1, base), (2, base + " tail"), (3, "unrelated words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0], 0),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),      # same vector, other block → not paired
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = dedup.embedding_near_dup_pairs(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    assert out[0].cosine == pytest.approx(0.9992, abs=1e-3)
