@@ -97,6 +97,9 @@ def knn_join(
             .select(id_col, lat_col, lon_col, target_id_col, target_lat, target_lon, "distance_m")
         )
         best = hits if best is None else best.drop("knn_rank").unionByName(hits)
+        # dedup (query, target): under antimeridian wrap a cell can lie in two
+        # rings (dx=-1 ≡ dx=n-1 on a narrow grid), re-yielding the same target
+        best = best.dropDuplicates([id_col, target_id_col])
         # keep only the running top-k per query (bounds state growth)
         w = Window.partitionBy(id_col).orderBy(F.col("distance_m").asc(), F.col(target_id_col).asc())
         best = best.withColumn("knn_rank", F.row_number().over(w)).where(F.col("knn_rank") <= k)

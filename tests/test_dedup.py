@@ -5,7 +5,7 @@ import pytest
 
 from mass_georeferencing_spark.operators import dedup
 
-from .conftest import SF_DIR
+from conftest import SF_DIR
 
 
 def test_char_shingles():

@@ -1,0 +1,76 @@
+"""End-to-end pipeline golden tests: invariants the reference contract pins
+(SURVEY.md §5): score thresholds, top-k caps, prune semantics, determinism,
+byte-identical extracted text per url."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mass_georeferencing_spark.operators.fuzzy_join import FUZZY_SUM_THRESHOLD
+from mass_georeferencing_spark.operators.scoring import MIN_SCORE
+from mass_georeferencing_spark.operators.topk import TOP_K
+from mass_georeferencing_spark.plans.pipeline import georeference
+from mass_georeferencing_spark.sources import synthetic as syn
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    return georeference(spark, SF_DIR)
+
+
+def test_threshold_invariant(result):
+    # functions.py:292 — every surviving pair has score1 + score2 > 140
+    bad = result["top"].where(
+        F.col("score1") + F.col("score2") <= FUZZY_SUM_THRESHOLD
+    )
+    assert bad.count() == 0
+
+
+def test_topk_cap(result):
+    # functions.py:298 — at most 50 candidates per record group
+    over = (
+        result["kept"].groupBy("recgroup_id").count().where(F.col("count") > TOP_K)
+    )
+    assert over.count() == 0
+
+
+def test_prune_invariant(result):
+    # settings.py.template:9 — every kept candidate's mean score >= 80
+    bad = result["kept"].where(F.col("mean_score") < MIN_SCORE)
+    assert bad.count() == 0
+
+
+def test_no_empty_groups(result):
+    assert result["groups_final"].where(F.col("no_candidates") <= 0).count() == 0
+
+
+def test_scores_in_range(result):
+    for c in ("score1", "score2", "score_state"):
+        bad = result["top"].where((F.col(c) < 0) | (F.col(c) > 100))
+        assert bad.count() == 0, c
+
+
+def test_deterministic_rerun(spark, result):
+    kept1 = sorted(
+        (r.recgroup_id, r.uid, r.mean_score) for r in result["kept"].collect()
+    )
+    kept2 = sorted(
+        (r.recgroup_id, r.uid, r.mean_score)
+        for r in georeference(spark, SF_DIR)["kept"].collect()
+    )
+    assert kept1 == kept2
+
+
+def test_extracted_text_byte_identical(spark):
+    # input_hint per-row invariant: decode(html) == text for every url
+    pages = syn.pages_df(spark, SF_DIR)
+    bad = pages.where(F.col("html").cast("string") != F.col("text"))
+    assert bad.count() == 0
+    assert pages.select("url").distinct().count() == pages.count()
+
+
+def test_cell_assignment_valid(result):
+    kept = result["kept"]
+    res_bits = kept.select((F.col("cell") % 32).alias("r")).distinct().collect()
+    assert {r.r for r in res_bits} == {12}

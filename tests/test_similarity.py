@@ -1,0 +1,50 @@
+"""ANN similarity tests: brute-force exactness, IVF recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mass_georeferencing_spark.operators import similarity
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_topk_self_is_rank1(spark, emb):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(queries, emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].vec_id == qid  # self-similarity = 1.0 → rank 1
+        assert rows[0].cosine == pytest.approx(1.0, abs=1e-6)
+        assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_ivf_recall_vs_brute(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    ivf = similarity.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+    iset = {(r.query_id, r.vec_id) for r in ivf}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.5  # random near-orthogonal vectors: nprobe/half the space
+    # self hit must always survive (query's own centroid is probed first)
+    for qid in range(10):
+        assert (qid, qid) in iset
+
+
+def test_centroid_assignment_total(spark, emb):
+    cents = similarity.deterministic_centroids(emb, 8)
+    assigned = similarity.assign_centroids(emb, cents)
+    assert assigned.count() == emb.count()  # exactly one centroid per vector
+    assert assigned.select("centroid_id").distinct().count() <= 8

@@ -1,0 +1,121 @@
+"""Spatial operator tests: PIP join vs bbox truth, anti-join, kNN vs brute force,
+zonal stats, banding monotonicity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mass_georeferencing_spark.functions.geo import haversine_m, wkb_polygon
+from mass_georeferencing_spark.operators import zonal
+from mass_georeferencing_spark.operators.knn import knn_join
+from mass_georeferencing_spark.operators.scoring import (
+    distance_band_score,
+    elevation_band_score,
+)
+from mass_georeferencing_spark.operators.spatial import pip_anti_join, pip_join
+
+from conftest import SF_DIR
+
+
+def _rect_wkb(min_lon, min_lat, max_lon, max_lat):
+    ring = np.array(
+        [
+            [min_lon, min_lat],
+            [max_lon, min_lat],
+            [max_lon, max_lat],
+            [min_lon, max_lat],
+            [min_lon, min_lat],
+        ]
+    )
+    return wkb_polygon([ring])
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [(i, float((i * 37) % 170 - 85) + 0.5, float((i * 53) % 360 - 180) + 0.5) for i in range(200)]
+    return spark.createDataFrame(rows, ["pid", "lat", "lon"])
+
+
+def test_pip_join_matches_bbox_truth(spark, points):
+    polys = spark.createDataFrame(
+        [("p0", bytearray(_rect_wkb(-60, -30, 40, 45))), ("p1", bytearray(_rect_wkb(100, 10, 170, 80)))],
+        ["polygon_id", "geom_wkb"],
+    )
+    for strategy in ("broadcast", "cells"):
+        got = {
+            (r.pid, r.polygon_id)
+            for r in pip_join(points, polys, strategy=strategy, res=4).collect()
+        }
+        want = set()
+        for r in points.collect():
+            if -60 < r.lon < 40 and -30 < r.lat < 45:
+                want.add((r.pid, "p0"))
+            if 100 < r.lon < 170 and 10 < r.lat < 80:
+                want.add((r.pid, "p1"))
+        assert got == want, strategy
+
+
+def test_pip_anti_join_complement(spark, points):
+    polys = spark.createDataFrame(
+        [("p0", bytearray(_rect_wkb(-60, -30, 40, 45)))], ["polygon_id", "geom_wkb"]
+    )
+    inside = {r.pid for r in pip_join(points, polys, strategy="broadcast", res=4).collect()}
+    outside = {r.pid for r in pip_anti_join(points, polys, keys=["pid"], strategy="broadcast", res=4).collect()}
+    allp = {r.pid for r in points.collect()}
+    assert inside | outside == allp
+    assert inside & outside == set()
+
+
+def test_knn_join_exact_vs_brute(spark):
+    qrows = [(f"q{i}", float((i * 41) % 160 - 80) + 0.3, float((i * 59) % 350 - 175) + 0.3) for i in range(40)]
+    trows = [(f"t{j}", float((j * 23) % 160 - 80) + 0.7, float((j * 71) % 350 - 175) + 0.7) for j in range(60)]
+    q = spark.createDataFrame(qrows, ["query_id", "lat", "lon"])
+    t = spark.createDataFrame(
+        trows, ["target_id", "target_lat", "target_lon"]
+    )
+    out = knn_join(q, t, k=2, res=2).collect()
+    # brute force in numpy
+    qa = np.array([(r[1], r[2]) for r in qrows])
+    ta = np.array([(r[1], r[2]) for r in trows])
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.knn_rank, r.target_id, r.distance_m))
+    assert len(got) == len(qrows)
+    for i, (qid, qlat, qlon) in enumerate(qrows):
+        d = haversine_m(
+            np.full(len(ta), qlon), np.full(len(ta), qlat), ta[:, 1], ta[:, 0]
+        )
+        order = np.lexsort((np.arange(len(ta)), d))
+        want = [trows[j][0] for j in order[:2]]
+        have = [tid for _, tid, _ in sorted(got[qid])]
+        assert have == want, (qid, have, want)
+
+
+def test_zonal_stats_rect(spark):
+    samples = spark.createDataFrame(
+        [(i, float((i * 11) % 170 - 85) + 0.5, float((i * 7) % 360 - 180) + 0.5, float(i % 100)) for i in range(300)],
+        ["sid", "lat", "lon", "elev_m"],
+    )
+    raster = zonal.rasterize_points(samples, res=3)
+    polys = spark.createDataFrame(
+        [("z0", bytearray(_rect_wkb(-170, -80, -120, -40)))], ["polygon_id", "geom_wkb"]
+    )
+    out = zonal.zonal_stats(polys, raster, res=3).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_cells > 0
+    assert row.min_val <= row.mean_val <= row.max_val
+
+
+def test_banding_monotone(spark):
+    df = spark.range(1).select(
+        *[distance_band_score(F.lit(float(d))).alias(f"d{i}") for i, d in enumerate([0, 5000, 30000, 80000, 200000])]
+    )
+    row = df.collect()[0]
+    vals = [row[f"d{i}"] for i in range(5)]
+    assert vals == [100, 95, 85, 75, 60]
+    df2 = spark.range(1).select(
+        *[elevation_band_score(F.lit(float(d))).alias(f"e{i}") for i, d in enumerate([0, -200, 500, 900, 5000])]
+    )
+    row2 = df2.collect()[0]
+    assert [row2[f"e{i}"] for i in range(5)] == [100, 90, 80, 70, 20]
