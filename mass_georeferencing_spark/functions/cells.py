@@ -144,11 +144,16 @@ def ring_guarantee_m(lat: float, res: int, k: int) -> float:
     Uses the narrowest cell width within the ring's latitude band (cos shrinks
     toward the poles), so the bound is valid anywhere inside the band.
     """
-    deg_h = 180.0 / (1 << res)
-    band_lat = min(abs(lat) + (k + 1) * deg_h, 90.0)
+    n = 1 << res
+    deg_h = 180.0 / n
     m_per_deg = math.pi * EARTH_RADIUS_M / 180.0
-    width = (360.0 / (1 << res)) * m_per_deg * math.cos(math.radians(band_lat))
     height = deg_h * m_per_deg
+    if 2 * k + 1 >= n:
+        # the ring wraps every longitude: escape is only possible vertically,
+        # so the east-west (polar-shrinking) width bound no longer applies
+        return k * height
+    band_lat = min(abs(lat) + (k + 1) * deg_h, 90.0)
+    width = (360.0 / n) * m_per_deg * math.cos(math.radians(band_lat))
     return k * min(max(width, 0.0), height)
 
 

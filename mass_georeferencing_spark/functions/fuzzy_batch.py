@@ -1,0 +1,221 @@
+"""Batch-vectorized fuzzy kernels: bit-parallel LCS across a whole Arrow batch.
+
+The scalar kernels (functions/fuzzy.py) cost ~0.3 ms/pair in Python — fine for
+thousands of pairs, fatal for billions. Locality strings are short (a folded
+mention/name is < 64 chars), so the Allison-Dix bit vector of EVERY pair fits
+one uint64 and the DP scan vectorizes across the batch:
+
+- per batch, characters are dictionary-encoded (any unicode, pad=0);
+- the pattern bitmasks of all pairs form one (n, vocab) uint64 table built with
+  ``np.bitwise_or.at``;
+- the scan loops over CHARACTER POSITIONS (≤ 63 python iterations), each step an
+  elementwise uint64 op over all n pairs — ~100× less Python dispatch than the
+  per-pair loop.
+
+Pairs with strings longer than MAXLEN (63) fall back to the scalar kernels, so
+results are bit-identical to functions/fuzzy.py for every input (pinned by
+tests/test_fuzzy_batch.py property tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import fuzzy
+
+MAXLEN = 63
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint16)
+_U16 = np.uint64(16)
+_U32 = np.uint64(32)
+_U48 = np.uint64(48)
+_MASK16 = np.uint64(0xFFFF)
+_ONE = np.uint64(1)
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    return (
+        _POP16[(v & _MASK16).astype(np.int64)].astype(np.int64)
+        + _POP16[((v >> _U16) & _MASK16).astype(np.int64)]
+        + _POP16[((v >> _U32) & _MASK16).astype(np.int64)]
+        + _POP16[(v >> _U48).astype(np.int64)]
+    )
+
+
+def _encode(strings: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray, dict[str, int]]:
+    """Dictionary-encode a list of strings → (codes (n, max_len) int32 padded
+    with 0, lengths (n,), vocab). Vocabulary is built per batch."""
+    vocab: dict[str, int] = {}
+    n = len(strings)
+    codes = np.zeros((n, max_len), dtype=np.int32)
+    lengths = np.zeros(n, dtype=np.int64)
+    for i, s in enumerate(strings):
+        lengths[i] = len(s)
+        for p, ch in enumerate(s):
+            c = vocab.get(ch)
+            if c is None:
+                c = len(vocab) + 1
+                vocab[ch] = c
+            codes[i, p] = c
+    return codes, lengths, vocab
+
+
+def _pattern_masks(codes: np.ndarray, lengths: np.ndarray, vocab_size: int) -> np.ndarray:
+    """(n, vocab+1) uint64 bitmask table: bit p set in pm[i, c] iff pattern i has
+    char c at position p. Column 0 (pad) stays 0."""
+    n, max_len = codes.shape
+    pm = np.zeros((n, vocab_size + 1), dtype=np.uint64)
+    rows = np.arange(n)
+    for p in range(max_len):
+        valid = lengths > p
+        if not valid.any():
+            break
+        np.bitwise_or.at(pm, (rows[valid], codes[valid, p]), _ONE << np.uint64(p))
+    pm[:, 0] = 0
+    return pm
+
+
+def _lcs_scan(
+    pm: np.ndarray, mask: np.ndarray, pat_len: np.ndarray, txt_codes: np.ndarray, txt_len: np.ndarray
+) -> np.ndarray:
+    """Vectorized Allison-Dix: LCS length of each pattern vs its text."""
+    n = pm.shape[0]
+    rows = np.arange(n)
+    v = mask.copy()
+    for j in range(txt_codes.shape[1]):
+        active = txt_len > j
+        if not active.any():
+            break
+        mm = pm[rows, txt_codes[:, j]]
+        vn = ((v + (v & mm)) | (v & ~mm)) & mask
+        v = np.where(active, vn, v)
+    return pat_len - _popcount64(v & mask)
+
+
+def batch_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Vectorized fuzzy.ratio over pairs; exact scalar fallback for long strings."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.float64)
+    la = np.fromiter((len(a) for a in a_list), dtype=np.int64, count=n)
+    lb = np.fromiter((len(b) for b in b_list), dtype=np.int64, count=n)
+    both_empty = (la == 0) & (lb == 0)
+    out[both_empty] = 100.0
+    vec = (la <= MAXLEN) & ~both_empty
+    slow = ~vec & ~both_empty
+    if vec.any():
+        idx = np.nonzero(vec)[0]
+        a_sub = [a_list[i] for i in idx]
+        b_sub = [b_list[i] for i in idx]
+        max_la = int(la[idx].max(initial=0))
+        max_lb = int(lb[idx].max(initial=0))
+        a_codes, a_len, vocab = _encode(a_sub, max(max_la, 1))
+        # encode b with the SAME vocab; unseen chars → 0 (no match possible)
+        b_codes = np.zeros((len(b_sub), max(max_lb, 1)), dtype=np.int32)
+        for i, s in enumerate(b_sub):
+            for p, ch in enumerate(s):
+                b_codes[i, p] = vocab.get(ch, 0)
+        pm = _pattern_masks(a_codes, a_len, len(vocab))
+        mask = (_ONE << a_len.astype(np.uint64)) - _ONE
+        lcs = _lcs_scan(pm, mask, a_len, b_codes, lb[idx])
+        out[idx] = 200.0 * lcs / (la[idx] + lb[idx])
+    for i in np.nonzero(slow)[0]:
+        out[i] = fuzzy.ratio(a_list[i], b_list[i])
+    return out
+
+
+def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Vectorized fuzzy.partial_ratio (best window ratio of shorter vs longer)."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.float64)
+    shorts: list[str] = []
+    longs: list[str] = []
+    vec_idx: list[int] = []
+    for i in range(n):
+        a, b = a_list[i], b_list[i]
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) == 0:
+            out[i] = 100.0 if len(b) == 0 else 0.0
+            continue
+        if a in b:
+            out[i] = 100.0
+            continue
+        if len(a) > MAXLEN or len(b) > 4 * MAXLEN:
+            out[i] = fuzzy.partial_ratio(a, b)
+            continue
+        shorts.append(a)
+        longs.append(b)
+        vec_idx.append(i)
+    if not vec_idx:
+        return out
+
+    m = len(vec_idx)
+    ls = np.fromiter((len(s) for s in shorts), dtype=np.int64, count=m)
+    ll = np.fromiter((len(s) for s in longs), dtype=np.int64, count=m)
+    max_ls = int(ls.max())
+    max_ll = int(ll.max())
+    s_codes, s_len, vocab = _encode(shorts, max_ls)
+    # pad longs far enough that every window slice is in-bounds
+    l_codes = np.zeros((m, max_ll + max_ls), dtype=np.int32)
+    for i, s in enumerate(longs):
+        for p, ch in enumerate(s):
+            l_codes[i, p] = vocab.get(ch, 0)
+    pm = _pattern_masks(s_codes, s_len, len(vocab))
+    mask = (_ONE << ls.astype(np.uint64)) - _ONE
+    rows = np.arange(m)
+    best = np.zeros(m, dtype=np.int64)
+    n_windows = ll - ls + 1
+    max_windows = int(n_windows.max())
+    for start in range(max_windows):
+        win_active = n_windows > start
+        if not win_active.any():
+            break
+        v = mask.copy()
+        for j in range(max_ls):
+            active = ls > j
+            if not active.any():
+                break
+            mm = pm[rows, l_codes[:, start + j]]
+            vn = ((v + (v & mm)) | (v & ~mm)) & mask
+            v = np.where(active, vn, v)
+        lcs = ls - _popcount64(v & mask)
+        best = np.where(win_active & (lcs > best), lcs, best)
+        if (best >= ls).all():
+            break
+    out[np.asarray(vec_idx)] = 100.0 * best / ls
+    return out
+
+
+def batch_token_set_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Vectorized fuzzy.token_set_ratio: python set algebra builds the three
+    reconstruction strings, one batched ratio call scores them all."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.float64)
+    tri_a: list[str] = []
+    tri_b: list[str] = []
+    tri_owner: list[int] = []
+    for i in range(n):
+        ta = set(a_list[i].split())
+        tb = set(b_list[i].split())
+        if not ta and not tb:
+            out[i] = 100.0
+            continue
+        if not ta or not tb:
+            out[i] = 0.0
+            continue
+        inter = sorted(ta & tb)
+        d_ab = sorted(ta - tb)
+        d_ba = sorted(tb - ta)
+        if inter and not d_ab and not d_ba:
+            out[i] = 100.0
+            continue
+        s0 = " ".join(inter)
+        s1 = (s0 + " " + " ".join(d_ab)).strip()
+        s2 = (s0 + " " + " ".join(d_ba)).strip()
+        tri_a.extend((s0, s0, s1))
+        tri_b.extend((s1, s2, s2))
+        tri_owner.extend((i, i, i))
+    if tri_owner:
+        scores = batch_ratio(tri_a, tri_b)
+        np.maximum.at(out, np.asarray(tri_owner), scores)
+    return out

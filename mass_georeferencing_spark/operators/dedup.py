@@ -36,8 +36,10 @@ N_PERMS = 64
 N_BANDS = 16  # 4 rows per band
 
 _rng = np.random.RandomState(42)
-_PERM_A = _rng.randint(1, MERSENNE_P, size=N_PERMS, dtype=np.int64)
-_PERM_B = _rng.randint(0, MERSENNE_P, size=N_PERMS, dtype=np.int64)
+# a < 2^31 and x < 2^32 (crc32) keep a*x + b < 2^63 + 2^61 inside uint64 — the
+# whole (shingles × perms) minhash matrix stays vectorized numpy, no bigints
+_PERM_A = _rng.randint(1, 1 << 31, size=N_PERMS, dtype=np.uint64)
+_PERM_B = _rng.randint(0, MERSENNE_P, size=N_PERMS, dtype=np.uint64)
 
 
 # ---------------------------------------------------------------------------
@@ -82,21 +84,14 @@ def _shingle_hashes(sh: set[bytes]) -> np.ndarray:
 
 def minhash_signature(text: str, k: int = 5, kind: str = "char") -> np.ndarray:
     """(N_PERMS,) int64 minhash signature via universal hashing
-    h_i(x) = (a_i*x + b_i) mod p over crc32 shingle hashes."""
+    h_i(x) = (a_i*x + b_i) mod p over crc32 shingle hashes — one vectorized
+    (shingles × perms) uint64 matrix, min-reduced per permutation."""
     sh = char_shingles(text, k) if kind == "char" else word_shingles(text, k)
     if not sh:
         return np.zeros(N_PERMS, dtype=np.int64)
-    h = _shingle_hashes(sh)  # (s,)
-    # (s, 1) * (perms,) -> (s, perms); python-int math avoids int64 overflow via
-    # objects? no — use uint64 modular trick: p = 2^61-1 fits; a*x can overflow
-    # int64, so do it in python ints per perm on the (small) unique hash set.
-    out = np.empty(N_PERMS, dtype=np.int64)
-    hs = h.tolist()
-    for i in range(N_PERMS):
-        a = int(_PERM_A[i])
-        b = int(_PERM_B[i])
-        out[i] = min(((a * x + b) % MERSENNE_P) for x in hs)
-    return out
+    h = _shingle_hashes(sh).astype(np.uint64)  # (s,) crc32 < 2^32
+    m = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(MERSENNE_P)
+    return m.min(axis=0).astype(np.int64)
 
 
 def jaccard(a: set[bytes], b: set[bytes]) -> float:

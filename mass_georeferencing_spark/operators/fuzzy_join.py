@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..functions import fuzzy
+from ..functions import fuzzy, fuzzy_batch
 
 FUZZY_SUM_THRESHOLD = 140.0  # functions.py:292 (score1 + score2 > 140)
 
@@ -100,20 +100,15 @@ def score_pair(
 def _score_batch(
     qf: pd.Series, qn: pd.Series, nm: pd.Series, threshold: float | None
 ) -> pd.DataFrame:
-    a = qf.fillna("").astype(str).to_numpy()
-    b = qn.fillna("").astype(str).to_numpy()
-    c = nm.fillna("").astype(str).to_numpy()
-    n = len(a)
-    s1 = np.empty(n, dtype=np.float64)
-    s2 = np.empty(n, dtype=np.float64)
-    cache: dict[tuple[str, str, str], tuple[float, float]] = {}
-    for i in range(n):
-        key = (a[i], b[i], c[i])
-        v = cache.get(key)
-        if v is None:
-            v = score_pair(key[0], key[1], key[2], threshold)
-            cache[key] = v
-        s1[i], s2[i] = v
+    """Vectorized batch scoring (functions/fuzzy_batch.py): the bit-parallel
+    LCS DP runs as uint64 numpy ops across the whole Arrow batch — exact
+    results, so sound under any threshold (the scalar prune short-circuit in
+    :func:`score_pair` is kept for targeted/streamed use)."""
+    a = qf.fillna("").astype(str).tolist()
+    b = qn.fillna("").astype(str).tolist()
+    c = nm.fillna("").astype(str).tolist()
+    s1 = fuzzy_batch.batch_partial_ratio(a, c)
+    s2 = fuzzy_batch.batch_token_set_ratio(b, c)
     return pd.DataFrame({"score1": s1, "score2": s2}, index=qf.index)
 
 
@@ -130,17 +125,32 @@ def make_fuzzy_scores_udf(threshold: float | None = FUZZY_SUM_THRESHOLD):
 
 @F.pandas_udf(DoubleType())
 def partial_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return fuzzy.batch_partial_ratio(a, b)
+    return pd.Series(
+        fuzzy_batch.batch_partial_ratio(
+            a.fillna("").astype(str).tolist(), b.fillna("").astype(str).tolist()
+        ),
+        index=a.index,
+    )
 
 
 @F.pandas_udf(DoubleType())
 def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return fuzzy.batch_token_set_ratio(a, b)
+    return pd.Series(
+        fuzzy_batch.batch_token_set_ratio(
+            a.fillna("").astype(str).tolist(), b.fillna("").astype(str).tolist()
+        ),
+        index=a.index,
+    )
 
 
 @F.pandas_udf(DoubleType())
 def ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return fuzzy.batch_ratio(a, b)
+    return pd.Series(
+        fuzzy_batch.batch_ratio(
+            a.fillna("").astype(str).tolist(), b.fillna("").astype(str).tolist()
+        ),
+        index=a.index,
+    )
 
 
 def fuzzy_candidate_join(
@@ -156,6 +166,7 @@ def fuzzy_candidate_join(
     with_state: bool = True,
     dedup_pairs: bool = True,
     broadcast_candidates: bool = False,
+    broadcast_scored_pairs: bool = True,
     salt: int | None = None,
     prune: bool = True,
 ) -> DataFrame:
@@ -185,11 +196,33 @@ def fuzzy_candidate_join(
 
     scores_udf = make_fuzzy_scores_udf(threshold if prune else None)
     if dedup_pairs:
+        # Distinct scoring pairs are built from the DISTINCT projections of each
+        # side (not from `blocked`, which would put the whole join subtree in
+        # the plan twice), and the threshold filter runs on the scored pairs
+        # BEFORE the join-back: at web scale the surviving pair set is orders of
+        # magnitude smaller than the blocked pair space, so the join-back hashes
+        # (and usually broadcasts) a tiny table while the inner join applies the
+        # threshold implicitly.
         pair_cols = [query_col, query_nostop_col, name_col]
-        pairs = blocked.select(*pair_cols).distinct()
-        scored_pairs = pairs.withColumn(
-            "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
-        ).select(*pair_cols, F.col("_s.score1").alias("score1"), F.col("_s.score2").alias("score2"))
+        q_d = groups.select(*block_keys, query_col, query_nostop_col).distinct()
+        n_d = cand.select(*block_keys, name_col).distinct()
+        pairs = q_d.join(n_d, on=block_keys).select(*pair_cols).distinct()
+        scored_pairs = (
+            pairs.withColumn(
+                "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
+            )
+            .select(
+                *pair_cols,
+                F.col("_s.score1").alias("score1"),
+                F.col("_s.score2").alias("score2"),
+            )
+            .where(F.col("score1") + F.col("score2") > F.lit(threshold))
+        )
+        if broadcast_scored_pairs:
+            # sound when the thresholded pair set fits an executor (typical:
+            # the >140 filter is highly selective); set False to shuffle-join
+            # when the surviving pair set is itself web-scale
+            scored_pairs = F.broadcast(scored_pairs)
         scored = blocked.join(scored_pairs, on=pair_cols)
     else:
         scored = blocked.withColumn(

@@ -54,10 +54,12 @@ def georeference(
     checkpoint runner in plans/checkpoint.py persists these per stage).
     """
     mentions = synthetic.mentions_df(spark, sf_dir)
-    groups = build_record_groups(mentions, coord_cols=("lat", "lon"))
+    # both sides feed two plan subtrees each (distinct-pair build + blocked
+    # join), so persist once — at scale these are the SMALL relations
+    groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
 
     gaz = synthetic.gazetteer_df(spark, sf_dir)
-    candidates = normalize_candidates(explode_alternate_names(gaz))
+    candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
 
     scored = fuzzy_candidate_join(
         groups,
@@ -71,7 +73,8 @@ def georeference(
         partition_cols=["recgroup_id"],
         order_cols=["score1", "score2", "score_state", "no_features"],
         k=top_k,
-    )
+    ).persist()  # consumed by both the EAV melt and the prune join — without
+    # this the fuzzy-join subtree executes twice in one action
 
     if spatial:
         from ..functions.geo import haversine_col
