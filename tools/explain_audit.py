@@ -1,0 +1,119 @@
+"""Physical-plan audit: print `.explain("formatted")` for the key operators and
+grep for the plan properties the 100 TB design depends on:
+
+- parquet scans show PushedFilters + pruned ReadSchema (predicate pushdown,
+  column pruning reach the source);
+- dimension joins are BroadcastHashJoin (no shuffle of the big side);
+- relational stages sit inside WholeStageCodegen spans;
+- the only Python boundaries are ArrowEvalPython / MapInPandas nodes at the
+  designed UDF points (fuzzy scoring, PIP refine, cover/ring generators).
+
+Run: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mass_georeferencing_spark.session import get_spark
+from mass_georeferencing_spark.sources import synthetic as syn
+from mass_georeferencing_spark.sources.tables import load_table
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CHECKS = {
+    "pushdown_filter": re.compile(r"PushedFilters: \[[^\]]*IsNotNull|PushedFilters: \[[^\]]*EqualTo"),
+    "column_pruning": re.compile(r"ReadSchema: [^\n]*struct<[^>]{0,200}>"),
+    "broadcast_join": re.compile(r"BroadcastHashJoin"),
+    "codegen": re.compile(r"codegen id :|WholeStageCodegen"),
+    "arrow_udf": re.compile(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"),
+}
+
+
+def audit(name: str, df, expect: list[str]) -> bool:
+    plan = plan_of(df)
+    ok = True
+    print(f"== {name} ==")
+    for check in expect:
+        hit = bool(CHECKS[check].search(plan))
+        print(f"  {check}: {'OK' if hit else 'MISSING'}")
+        ok &= hit
+    if os.environ.get("AUDIT_VERBOSE"):
+        print(plan)
+    return ok
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # AQE wraps plans in AdaptiveSparkPlan whose codegen ids only appear after
+    # execution; audit with AQE off so the static plan shows the codegen spans
+    # (production sessions keep AQE on — session.py)
+    spark = get_spark(extra_conf={"spark.sql.adaptive.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ok = True
+
+    # 1. filtered projection over parquet: pushdown + pruning
+    docs = load_table(spark, sf, "documents").where(F.col("lang") == "en").select("doc_id", "lang")
+    ok &= audit("filtered_scan", docs, ["pushdown_filter", "column_pruning", "codegen"])
+
+    # 2. dimension join: broadcast, codegen
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    ok &= audit("dim_join", j, ["broadcast_join", "codegen"])
+
+    # 3. fuzzy join: Arrow UDF only at the scoring point, broadcast join-back
+    from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_candidate_join
+    from mass_georeferencing_spark.operators.layers import normalize_candidates
+    from mass_georeferencing_spark.operators.record_groups import build_record_groups
+
+    groups = build_record_groups(syn.mentions_df(spark, sf))
+    cands = normalize_candidates(syn.gazetteer_df(spark, sf))
+    scored = fuzzy_candidate_join(groups, cands, broadcast_candidates=True)
+    ok &= audit("fuzzy_join", scored, ["broadcast_join", "arrow_udf", "codegen"])
+
+    # 4. cell equi-join PIP: generator + hash join on cell
+    from mass_georeferencing_spark.operators.spatial import pip_join
+
+    pts = syn.mentions_df(spark, sf).where(F.col("lat").isNotNull())
+    aoi = syn.aoi_wkb_df(spark, sf)
+    pip = pip_join(pts, aoi, strategy="broadcast", res=4)
+    ok &= audit("pip_join", pip, ["broadcast_join", "arrow_udf"])
+
+    # 5. cell assignment is pure JVM (NO python nodes at all)
+    cells = syn.mentions_df(spark, sf).where(F.col("lat").isNotNull()).select(
+        "url",
+        F.expr("1").alias("x"),
+    )
+    from mass_georeferencing_spark.functions.cells import latlng_to_cell_col
+
+    ca = syn.mentions_df(spark, sf).where(F.col("lat").isNotNull()).select(
+        latlng_to_cell_col(F.col("lat"), F.col("lon"), 12).alias("cell")
+    )
+    plan = plan_of(ca)
+    no_python = not CHECKS["arrow_udf"].search(plan)
+    print("== cell_assign ==")
+    print(f"  jvm_only: {'OK' if no_python else 'MISSING'}")
+    ok &= no_python
+
+    print(f"\nAUDIT {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
