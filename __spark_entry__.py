@@ -291,9 +291,11 @@ def _q_j1_fuzzy_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mass_georeferencing_spark.plans.contract_ext import queries_ext
+    from mass_georeferencing_spark.plans.contract_ext2 import queries_ext2
 
     return {
         **queries_ext(),
+        **queries_ext2(),
         "a1_record_groups": _q_a1_record_groups,
         "a2_distinct_langs": _q_a2_distinct_langs,
         "a3_collapse_localities": _q_a3_collapse_localities,
@@ -319,12 +321,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from mass_georeferencing_spark.plans.contract_ext import oracle_ext
+    from mass_georeferencing_spark.plans.contract_ext2 import oracle_ext2
 
     W = syn.with_ctes
     hav_grid = _HAV.format(lat1="m.lat", lon1="m.lon", lat2="g.lat", lon2="g.lon")
     hav_adm = _HAV.format(lat1="m.lat", lon1="m.lon", lat2="g.lat", lon2="g.lon")
     return {
         **oracle_ext(),
+        **oracle_ext2(),
         "a1_record_groups": W(
             """
             SELECT md5(concat_ws('|', lang, mention, state)) AS recgroup_id,

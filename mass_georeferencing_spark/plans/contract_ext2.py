@@ -1,0 +1,238 @@
+"""Driver-contract batch 3: remaining SURVEY.md §2 operators.
+
+F7 country-code lookup join, F10/F11 nullif + date-probe bulk-cast (the S3
+staging-load idiom), F12 rounding, W3 ranked display order, A5 group candidate
+counts, A7 export manifest agg, A8 per-topic rollup, A10 catalog sum, U3
+union-all, J2 fuzzy mean join (rows-only), plus the S5 export star output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.record_groups import build_record_groups
+from ..operators.scoring import drop_empty_groups, group_candidate_counts
+from ..operators.topk import ranked_display_order
+from ..sources import synthetic as syn
+from ..sources.tables import load_table
+
+# static ISO-ish lookup (F7: pycountry alpha2→name, batch_georeferencing.py:191-195 —
+# restated as a broadcast lookup join instead of per-row library calls)
+LANG_NAMES = {
+    "en": "English",
+    "de": "German",
+    "es": "Spanish",
+    "fr": "French",
+    "zh": "Chinese",
+}
+
+
+def _q_f7_code_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in sorted(LANG_NAMES.items())], ["lang", "lang_name"]
+    )
+    return (
+        docs.join(F.broadcast(lookup), on="lang", how="left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("lang_name"), F.lit("Unknown")).alias("lang_name"),
+        )
+    )
+
+
+def _q_f10_f11_staging_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F10/F11: the bulk-load cast idiom — ''→NULL then try-cast
+    (database/load_gbif_dwc_download.sql:350-440; is_date probe
+    mass_georef_database.sql:350-357 → to_date null-on-fail)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw_date = F.when(
+        F.col("event_id") % 5 == 0, F.lit("")
+    ).when(
+        F.col("event_id") % 7 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    nn = F.nullif(raw_date, F.lit(""))
+    return ev.select(
+        "event_id",
+        nn.alias("raw_date"),
+        F.try_to_timestamp(nn, F.lit("yyyy-MM-dd")).cast("date").cast("string").alias("parsed_date"),
+    )
+
+
+def _q_f12_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F12: ROUND(AVG(score),1) + 5-decimal lat/lng rounding (app.R:1484-1485)
+    m = syn.mentions_df(spark, sf_dir).where(F.col("lat").isNotNull())
+    return m.groupBy("lang").agg(
+        F.round(F.avg("lat"), 5).alias("avg_lat"),
+        F.round(F.avg("lon"), 5).alias("avg_lon"),
+        F.round(F.avg(F.length("mention")), 1).alias("avg_mention_len"),
+    )
+
+
+def _q_w3_ranked_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3: source-priority ranking then score desc (app.R:899-901)
+    gaz = syn.gazetteer_df(spark, sf_dir)
+    scored = gaz.withColumn("score", (F.col("no_features") * 10).cast("double"))
+    out = ranked_display_order(scored, priority=["admin", "webnames"])
+    return out.select("uid", "data_source", "score")
+
+
+def _q_a5_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = build_record_groups(syn.mentions_df(spark, sf_dir))
+    cands = syn.gazetteer_df(spark, sf_dir)
+    matched = (
+        groups.join(cands, on="lang")
+        .where(F.instr(F.col("name"), F.col("mention")) > 0)
+        .select("recgroup_id", "uid")
+    )
+    with_counts = group_candidate_counts(matched, groups)
+    return drop_empty_groups(with_counts).select("recgroup_id", "mention", "no_candidates")
+
+
+def _q_a7_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7: count(*) GROUP BY data_source, point_or_polygon (export.R:36)
+    gaz = syn.gazetteer_df(spark, sf_dir)
+    kind = F.when(F.col("uid").startswith("adm:"), "polygon").otherwise("point")
+    return gaz.groupBy("data_source", kind.alias("point_or_polygon")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _q_a8_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8: per-taxonomy match summary (match_SI_GBIF.py:332-339) — per (lang, source)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def _q_a10_sum_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10: sum(no_features) total-features stat (app.R:1427)
+    gaz = syn.gazetteer_df(spark, sf_dir)
+    return gaz.agg(F.sum("no_features").alias("total_features"))
+
+
+def _q_u3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U3: UNION ALL without dedup (functions.py:26-43)
+    gaz = syn.gazetteer_df(spark, sf_dir)
+    a = gaz.where(F.col("data_source") == "admin").select("uid", "name")
+    b = gaz.where(F.col("data_source") == "webnames").where(F.col("no_features") >= 2).select(
+        "uid", "name"
+    )
+    return a.unionAll(b)
+
+
+def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: J2 older-engine variant (match_SI_GBIF.py:43-71)
+    from ..operators.fuzzy_join import fuzzy_mean_join
+    from ..operators.layers import normalize_candidates
+
+    groups = build_record_groups(syn.mentions_df(spark, sf_dir))
+    cands = normalize_candidates(syn.gazetteer_df(spark, sf_dir))
+    out = fuzzy_mean_join(groups, cands, method="partial", threshold=80.0)
+    return out.select("recgroup_id", "uid", F.round("score", 2).alias("score"))
+
+
+def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "f7_code_lookup": _q_f7_code_lookup,
+        "f10_f11_staging_cast": _q_f10_f11_staging_cast,
+        "f12_rounding": _q_f12_rounding,
+        "w3_ranked_display": _q_w3_ranked_display,
+        "a5_group_counts": _q_a5_group_counts,
+        "a7_export_manifest": _q_a7_export_manifest,
+        "a8_topic_rollup": _q_a8_topic_rollup,
+        "a10_sum_catalog": _q_a10_sum_catalog,
+        "u3_union_all": _q_u3_union_all,
+        "j2_fuzzy_mean": _q_j2_fuzzy_mean,
+    }
+
+
+def oracle_ext2() -> dict[str, str]:
+    W = syn.with_ctes
+    lookup_values = ", ".join(f"('{k}', '{v}')" for k, v in sorted(LANG_NAMES.items()))
+    return {
+        "f7_code_lookup": f"""
+            SELECT doc_id, d.lang, coalesce(l.lang_name, 'Unknown') AS lang_name
+            FROM documents d
+            LEFT JOIN (VALUES {lookup_values}) AS l(lang, lang_name) ON d.lang = l.lang
+        """,
+        "f10_f11_staging_cast": """
+            SELECT event_id,
+                   nullif(raw_date, '') AS raw_date,
+                   CAST(try_cast(nullif(raw_date, '') AS DATE) AS VARCHAR) AS parsed_date
+            FROM (
+              SELECT event_id,
+                     CASE WHEN event_id % 5 = 0 THEN ''
+                          WHEN event_id % 7 = 0 THEN 'not-a-date'
+                          ELSE strftime(ts, '%Y-%m-%d') END AS raw_date
+              FROM events)
+        """,
+        "f12_rounding": W(
+            """
+            SELECT lang, round(avg(lat), 5) AS avg_lat, round(avg(lon), 5) AS avg_lon,
+                   round(avg(length(mention)), 1) AS avg_mention_len
+            FROM mentions WHERE lat IS NOT NULL GROUP BY lang
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+        ),
+        # w3_ranked_display: ordering-sensitive; driver hashes order-insensitively,
+        # so values match — include for completeness
+        "w3_ranked_display": W(
+            """
+            SELECT uid, data_source, CAST(no_features * 10 AS DOUBLE) AS score
+            FROM gazetteer
+            ORDER BY CASE data_source WHEN 'admin' THEN 1 WHEN 'webnames' THEN 2 ELSE 3 END,
+                     score DESC
+            """,
+            syn.GAZETTEER_CTE,
+        ),
+        "a5_group_counts": W(
+            """
+            SELECT rg.recgroup_id, rg.mention, count(*) AS no_candidates
+            FROM rg JOIN gazetteer g ON g.lang = rg.lang
+            WHERE strpos(g.name, rg.mention) > 0
+            GROUP BY rg.recgroup_id, rg.mention
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+            syn.GAZETTEER_CTE,
+            """rg AS (
+              SELECT md5(concat_ws('|', lang, mention, state)) AS recgroup_id,
+                     lang, mention, state
+              FROM (SELECT lang, mention, coalesce(state, '') AS state
+                    FROM mentions
+                    WHERE lower(mention) NOT IN ('none', 'unknown', 'no locality data'))
+              GROUP BY lang, mention, state)""",
+        ),
+        "a7_export_manifest": W(
+            """
+            SELECT data_source,
+                   CASE WHEN uid LIKE 'adm:%' THEN 'polygon' ELSE 'point' END AS point_or_polygon,
+                   count(*) AS n
+            FROM gazetteer GROUP BY 1, 2
+            """,
+            syn.GAZETTEER_CTE,
+        ),
+        "a8_topic_rollup": (
+            "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "a10_sum_catalog": W(
+            "SELECT CAST(sum(no_features) AS BIGINT) AS total_features FROM gazetteer",
+            syn.GAZETTEER_CTE,
+        ),
+        "u3_union_all": W(
+            """
+            SELECT uid, name FROM gazetteer WHERE data_source = 'admin'
+            UNION ALL
+            SELECT uid, name FROM gazetteer WHERE data_source = 'webnames' AND no_features >= 2
+            """,
+            syn.GAZETTEER_CTE,
+        ),
+    }
