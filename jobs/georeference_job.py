@@ -1,0 +1,102 @@
+"""spark-submit entry point for the full georeferencing pipeline.
+
+Usage (north rule: spark-submit --py-files at two cluster sizes):
+
+    cd /root/repo && zip -qr /tmp/mgs.zip mass_georeferencing_spark
+    spark-submit --master local[8]  --py-files /tmp/mgs.zip \
+        jobs/georeference_job.py --sf-dir /root/testdata/sf0.1 --out /tmp/mgs_out8
+    spark-submit --master local[32] --py-files /tmp/mgs.zip \
+        jobs/georeference_job.py --sf-dir /root/testdata/sf0.1 --out /tmp/mgs_out32
+
+On a real cluster the master flag becomes the cluster manager and --py-files
+ships the same zip to executors; nothing in the package assumes local mode.
+Prints a one-line JSON summary (rows, wall seconds, pages/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default=None, help="parquet output dir (omit: noop sink)")
+    ap.add_argument("--checkpoint-dir", default=None, help="enable resumable stage checkpointing")
+    ap.add_argument("--amplify", type=int, default=1, help="deterministic workload multiplier")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mass-georeferencing").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.time()
+    if args.checkpoint_dir:
+        from mass_georeferencing_spark.plans.checkpoint import run_georeference_checkpointed
+
+        kept, ck = run_georeference_checkpointed(spark, args.sf_dir, args.checkpoint_dir)
+        n_pages = None
+    elif args.amplify > 1:
+        import sys as _sys
+
+        _sys.path.insert(0, "/root/repo")
+        import bench  # amplified deterministic workload
+
+        from pyspark.sql import functions as F
+
+        from mass_georeferencing_spark.functions import cells as C
+        from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_candidate_join
+        from mass_georeferencing_spark.operators.layers import (
+            explode_alternate_names,
+            normalize_candidates,
+        )
+        from mass_georeferencing_spark.operators.record_groups import build_record_groups
+        from mass_georeferencing_spark.operators.scoring import melt_scores, prune_low_scores
+        from mass_georeferencing_spark.operators.topk import topk_per_group
+
+        pages = bench.amplified_pages(spark, args.sf_dir, args.amplify)
+        mentions = bench.amplified_mentions(pages)
+        gaz = bench.amplified_gazetteer(spark, args.sf_dir, max(args.amplify // 4, 1))
+        groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
+        candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
+        top = topk_per_group(
+            fuzzy_candidate_join(groups, candidates, broadcast_candidates=True),
+            partition_cols=["recgroup_id"],
+            order_cols=["score1", "score2", "score_state", "no_features"],
+        ).persist()
+        kept = prune_low_scores(top, melt_scores(top)).withColumn(
+            "cell", C.latlng_to_cell_col(F.col("lat"), F.col("lon"), 12)
+        )
+        n_pages = pages.count()
+    else:
+        from mass_georeferencing_spark.plans.pipeline import georeference
+
+        kept = georeference(spark, args.sf_dir)["kept"]
+        n_pages = None
+
+    if args.out:
+        kept.write.mode("overwrite").parquet(args.out)
+        n_rows = spark.read.parquet(args.out).count()
+    else:
+        kept.write.format("noop").mode("overwrite").save()
+        n_rows = -1
+    wall = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "wall_s": wall,
+                "n_pages": n_pages,
+                "pages_per_sec": round(n_pages / wall, 1) if n_pages else None,
+                "master": spark.sparkContext.master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
