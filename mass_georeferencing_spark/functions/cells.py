@@ -231,6 +231,27 @@ def latlng_to_cell_col(lat: Column, lon: Column, res: int = DEFAULT_POINT_RES) -
     return (x * F.lit(1 << Y_BITS) + y) * F.lit(1 << RES_BITS) + F.lit(res)
 
 
+def cell_parent_col(cell: Column, res: int, parent_res: int) -> Column:
+    """Parent cell id at a coarser resolution — pure integer bit math (JVM
+    codegen; DuckDB twin in :func:`cell_parent_oracle_sql`)."""
+    shift = res - parent_res
+    xy = F.shiftright(cell, RES_BITS)
+    y = xy.bitwiseAND(F.lit((1 << Y_BITS) - 1))
+    x = F.shiftright(xy, Y_BITS)
+    return (
+        F.shiftleft(F.shiftleft(F.shiftright(x, shift), Y_BITS) + F.shiftright(y, shift), RES_BITS)
+        + F.lit(parent_res)
+    )
+
+
+def cell_parent_oracle_sql(cell_expr: str, res: int, parent_res: int) -> str:
+    shift = res - parent_res
+    xy = f"(({cell_expr}) >> {RES_BITS})"
+    y = f"({xy} & {(1 << Y_BITS) - 1})"
+    x = f"({xy} >> {Y_BITS})"
+    return f"((((({x} >> {shift}) << {Y_BITS}) + ({y} >> {shift})) << {RES_BITS}) + {parent_res})"
+
+
 def cell_oracle_sql(lat_expr: str, lon_expr: str, res: int = DEFAULT_POINT_RES) -> str:
     """The DuckDB-SQL twin of :func:`latlng_to_cell_col` (used by oracle_sql())."""
     n = 1 << res

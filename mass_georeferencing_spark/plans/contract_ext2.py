@@ -137,8 +137,27 @@ def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("recgroup_id", "uid", F.round("score", 2).alias("score"))
 
 
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F14 + rollup: multi-resolution tile counts (fold-up, no raw re-scan)
+    from ..operators.tiles import tile_pyramid
+
+    m = syn.mentions_df(spark, sf_dir).where(F.col("lat").isNotNull())
+    return tile_pyramid(m, [12, 8, 4])
+
+
+def _q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O9 skew: mixed-resolution re-keying of over-full cells
+    from ..operators.tiles import adaptive_cells
+
+    m = syn.mentions_df(spark, sf_dir).where(F.col("lat").isNotNull())
+    out = adaptive_cells(m, base_res=2, max_rows_per_cell=5, split_delta=2)
+    return out.select("url", "mention", "cell")
+
+
 def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "tile_pyramid": _q_tile_pyramid,
+        "adaptive_cells": _q_adaptive_cells,
         "f7_code_lookup": _q_f7_code_lookup,
         "f10_f11_staging_cast": _q_f10_f11_staging_cast,
         "f12_rounding": _q_f12_rounding,
@@ -153,9 +172,43 @@ def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_ext2() -> dict[str, str]:
+    from ..functions.cells import cell_oracle_sql, cell_parent_oracle_sql
+
     W = syn.with_ctes
     lookup_values = ", ".join(f"('{k}', '{v}')" for k, v in sorted(LANG_NAMES.items()))
+    c12 = cell_oracle_sql("lat", "lon", 12)
+    p8 = cell_parent_oracle_sql("cell", 12, 8)
+    p4 = cell_parent_oracle_sql("cell", 8, 4)
+    c2 = cell_oracle_sql("lat", "lon", 2)
+    c4 = cell_oracle_sql("lat", "lon", 4)
     return {
+        "tile_pyramid": W(
+            """
+            SELECT 12 AS res, cell, n FROM t12
+            UNION ALL SELECT 8, cell, n FROM t8
+            UNION ALL SELECT 4, cell, n FROM t4
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+            f"""t12 AS (
+              SELECT {c12} AS cell, count(*) AS n
+              FROM mentions WHERE lat IS NOT NULL GROUP BY 1)""",
+            f"t8 AS (SELECT {p8} AS cell, CAST(sum(n) AS BIGINT) AS n FROM t12 GROUP BY 1)",
+            f"t4 AS (SELECT {p4} AS cell, CAST(sum(n) AS BIGINT) AS n FROM t8 GROUP BY 1)",
+        ),
+        "adaptive_cells": W(
+            f"""
+            SELECT m.url, m.mention,
+                   CASE WHEN h._base IS NOT NULL THEN {c4} ELSE {c2} END AS cell
+            FROM (SELECT *, {c2} AS _b FROM mentions WHERE lat IS NOT NULL) m
+            LEFT JOIN (
+              SELECT {c2} AS _base FROM mentions WHERE lat IS NOT NULL
+              GROUP BY 1 HAVING count(*) > 5) h
+            ON m._b = h._base
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+        ),
         "f7_code_lookup": f"""
             SELECT doc_id, d.lang, coalesce(l.lang_name, 'Unknown') AS lang_name
             FROM documents d
