@@ -42,29 +42,56 @@ def _popcount64(v: np.ndarray) -> np.ndarray:
     )
 
 
-def _encode(strings: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray, dict[str, int]]:
-    """Dictionary-encode a list of strings → (codes (n, max_len) int32 padded
-    with 0, lengths (n,), vocab). Vocabulary is built per batch."""
-    vocab: dict[str, int] = {}
+def _char_matrix(strings: list[str], max_len: int) -> np.ndarray:
+    """(n, max_len) uint32 char-code matrix, 0-padded — one numpy view, no
+    per-char Python. Strings containing NUL (indistinguishable from padding)
+    are sanitized first."""
+    if any("\x00" in s for s in strings):
+        strings = [s.replace("\x00", "\x01") for s in strings]
+    arr = np.array(strings, dtype=f"U{max(max_len, 1)}")
     n = len(strings)
-    codes = np.zeros((n, max_len), dtype=np.int32)
-    lengths = np.zeros(n, dtype=np.int64)
-    for i, s in enumerate(strings):
-        lengths[i] = len(s)
-        for p, ch in enumerate(s):
-            c = vocab.get(ch)
-            if c is None:
-                c = len(vocab) + 1
-                vocab[ch] = c
-            codes[i, p] = c
-    return codes, lengths, vocab
+    return arr.view(np.uint32).reshape(n, max(max_len, 1))
+
+
+def _encode(strings: list[str], max_len: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dictionary-encode strings → (codes (n, max_len) int64 padded with 0,
+    lengths (n,), sorted unique charcode vocab). Fully vectorized: charcode
+    matrix view + np.unique + searchsorted. vocab[0] is the pad (0)."""
+    m = _char_matrix(strings, max_len)
+    lengths = (m != 0).sum(axis=1)
+    uniq = np.unique(m)
+    if len(uniq) == 0 or uniq[0] != 0:
+        uniq = np.concatenate([np.zeros(1, dtype=m.dtype), uniq])
+    codes = _lookup(uniq, m)
+    return codes, lengths, uniq
+
+
+def _lookup(uniq: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """charcode matrix → vocab index; unseen → 0. Direct LUT when charcodes are
+    small (the common case), searchsorted fallback for exotic unicode."""
+    max_code = int(uniq[-1]) if len(uniq) else 0
+    if max_code < (1 << 20):
+        lut = np.zeros(max_code + 2, dtype=np.int32)
+        lut[uniq] = np.arange(len(uniq), dtype=np.int32)
+        clipped = np.minimum(m, max_code + 1)
+        return lut[clipped]
+    idx = np.searchsorted(uniq, m)
+    idx[idx >= len(uniq)] = 0
+    miss = uniq[idx] != m
+    idx[miss] = 0
+    return idx
+
+
+def _encode_with_vocab(strings: list[str], max_len: int, uniq: np.ndarray) -> np.ndarray:
+    """Encode against an existing vocab; unseen chars → 0 (can never match)."""
+    return _lookup(uniq, _char_matrix(strings, max_len))
 
 
 def _pattern_masks(codes: np.ndarray, lengths: np.ndarray, vocab_size: int) -> np.ndarray:
-    """(n, vocab+1) uint64 bitmask table: bit p set in pm[i, c] iff pattern i has
+    """(n, vocab) uint64 bitmask table: bit p set in pm[i, c] iff pattern i has
     char c at position p. Column 0 (pad) stays 0."""
     n, max_len = codes.shape
-    pm = np.zeros((n, vocab_size + 1), dtype=np.uint64)
+    pm = np.zeros((n, vocab_size), dtype=np.uint64)
     rows = np.arange(n)
     for p in range(max_len):
         valid = lengths > p
@@ -109,11 +136,7 @@ def batch_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
         max_la = int(la[idx].max(initial=0))
         max_lb = int(lb[idx].max(initial=0))
         a_codes, a_len, vocab = _encode(a_sub, max(max_la, 1))
-        # encode b with the SAME vocab; unseen chars → 0 (no match possible)
-        b_codes = np.zeros((len(b_sub), max(max_lb, 1)), dtype=np.int32)
-        for i, s in enumerate(b_sub):
-            for p, ch in enumerate(s):
-                b_codes[i, p] = vocab.get(ch, 0)
+        b_codes = _encode_with_vocab(b_sub, max(max_lb, 1), vocab)
         pm = _pattern_masks(a_codes, a_len, len(vocab))
         mask = (_ONE << a_len.astype(np.uint64)) - _ONE
         lcs = _lcs_scan(pm, mask, a_len, b_codes, lb[idx])
@@ -156,10 +179,7 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     max_ll = int(ll.max())
     s_codes, s_len, vocab = _encode(shorts, max_ls)
     # pad longs far enough that every window slice is in-bounds
-    l_codes = np.zeros((m, max_ll + max_ls), dtype=np.int32)
-    for i, s in enumerate(longs):
-        for p, ch in enumerate(s):
-            l_codes[i, p] = vocab.get(ch, 0)
+    l_codes = _encode_with_vocab(longs, max_ll + max_ls, vocab)
     pm = _pattern_masks(s_codes, s_len, len(vocab))
     mask = (_ONE << ls.astype(np.uint64)) - _ONE
     rows = np.arange(m)

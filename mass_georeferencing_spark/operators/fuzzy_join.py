@@ -166,7 +166,7 @@ def fuzzy_candidate_join(
     with_state: bool = True,
     dedup_pairs: bool = True,
     broadcast_candidates: bool = False,
-    broadcast_scored_pairs: bool = True,
+    broadcast_scored_pairs: bool = False,
     salt: int | None = None,
     prune: bool = True,
 ) -> DataFrame:
@@ -192,21 +192,31 @@ def fuzzy_candidate_join(
     if broadcast_candidates:
         cand = F.broadcast(cand)
 
-    blocked = groups.join(cand, on=block_keys)
-
     scores_udf = make_fuzzy_scores_udf(threshold if prune else None)
     if dedup_pairs:
-        # Distinct scoring pairs are built from the DISTINCT projections of each
-        # side (not from `blocked`, which would put the whole join subtree in
-        # the plan twice), and the threshold filter runs on the scored pairs
-        # BEFORE the join-back: at web scale the surviving pair set is orders of
-        # magnitude smaller than the blocked pair space, so the join-back hashes
-        # (and usually broadcasts) a tiny table while the inner join applies the
-        # threshold implicitly.
+        # Dedup-before-score, restated for scale:
+        # 1. distinct pairs come from the DISTINCT projections of each side
+        #    joined on the block key — never from the full blocked product;
+        # 2. the pair set is explicitly repartitioned before the Arrow UDF:
+        #    AQE coalesces shuffle output by BYTES, which would starve the
+        #    Python-expensive stage of parallelism (measured 4x loss);
+        # 3. the threshold filter runs on the scored pairs BEFORE any join-back,
+        #    so the surviving set is orders of magnitude smaller;
+        # 4. the final result is groups ⋈ pairs ⋈ candidates in THAT order —
+        #    the blocked (groups × candidates) product is never materialized;
+        #    both joins are broadcast-able (AQE promotes them from runtime
+        #    sizes) and equality on (block key, name) restores exact blocking
+        #    semantics.
         pair_cols = [query_col, query_nostop_col, name_col]
         q_d = groups.select(*block_keys, query_col, query_nostop_col).distinct()
         n_d = cand.select(*block_keys, name_col).distinct()
-        pairs = q_d.join(n_d, on=block_keys).select(*pair_cols).distinct()
+        parallelism = groups.sparkSession.sparkContext.defaultParallelism
+        pairs = (
+            q_d.join(n_d, on=block_keys)
+            .select(*pair_cols)
+            .distinct()
+            .repartition(2 * parallelism)
+        )
         scored_pairs = (
             pairs.withColumn(
                 "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
@@ -219,12 +229,14 @@ def fuzzy_candidate_join(
             .where(F.col("score1") + F.col("score2") > F.lit(threshold))
         )
         if broadcast_scored_pairs:
-            # sound when the thresholded pair set fits an executor (typical:
-            # the >140 filter is highly selective); set False to shuffle-join
-            # when the surviving pair set is itself web-scale
+            # force-broadcast when the caller KNOWS the surviving set is small;
+            # default False lets AQE decide from the measured size
             scored_pairs = F.broadcast(scored_pairs)
-        scored = blocked.join(scored_pairs, on=pair_cols)
+        scored = groups.join(scored_pairs, on=[query_col, query_nostop_col]).join(
+            cand, on=[*block_keys, name_col]
+        )
     else:
+        blocked = groups.join(cand, on=block_keys)
         scored = blocked.withColumn(
             "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
         ).withColumn("score1", F.col("_s.score1")).withColumn("score2", F.col("_s.score2")).drop("_s")
