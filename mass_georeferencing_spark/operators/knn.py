@@ -124,6 +124,76 @@ def knn_join(
     return result
 
 
+def knn_join_broadcast(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    target_id_col: str = "target_id",
+    target_lat: str = "target_lat",
+    target_lon: str = "target_lon",
+) -> DataFrame:
+    """Exact kNN for SMALL target sets (≲10^6): targets broadcast once, each
+    query batch computes the full (batch × targets) haversine matrix in numpy
+    and takes the top-k — one map-side pass over the queries, zero shuffles.
+    The right tool when the 'raster' side is a regional grid; use
+    :func:`knn_join` (ring expansion) when both sides are web-scale."""
+    import numpy as np
+
+    from ..functions.geo import haversine_m
+
+    rows = targets.select(target_id_col, target_lat, target_lon).collect()
+    t_ids = [r[target_id_col] for r in rows]
+    t_lat = np.array([r[target_lat] for r in rows], dtype=np.float64)
+    t_lon = np.array([r[target_lon] for r in rows], dtype=np.float64)
+    sc = queries.sparkSession.sparkContext
+    b = sc.broadcast((t_ids, t_lat, t_lon))
+    kk = min(k, len(t_ids))
+
+    id_type = queries.schema[id_col].dataType.simpleString()
+    tid_type = targets.schema[target_id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, {target_id_col} {tid_type}, "
+        f"{target_lat} double, {target_lon} double, distance_m double, knn_rank int"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, blat, blon = b.value
+        ids_arr = np.asarray(ids, dtype=object)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qlat = pdf[lat_col].to_numpy(np.float64)
+            qlon = pdf[lon_col].to_numpy(np.float64)
+            # (batch, targets) distance matrix, chunked rows stay cache-friendly
+            d = haversine_m(
+                qlon[:, None], qlat[:, None], blon[None, :], blat[None, :]
+            )
+            # top-k via argpartition then exact sort of the k candidates
+            if kk < len(ids):
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.tile(np.arange(len(ids)), (len(pdf), 1))
+            rows_out = []
+            for i in range(len(pdf)):
+                # exact sort of just the k candidates, same (distance, id)
+                # tie-break as the ring-expansion variant
+                sel = sorted(part[i].tolist(), key=lambda j: (d[i, j], ids_arr[j]))[:kk]
+                for rank, j in enumerate(sel, start=1):
+                    rows_out.append(
+                        (pdf[id_col].iloc[i], ids_arr[j], blat[j], blon[j], d[i, j], rank)
+                    )
+            yield pd.DataFrame(
+                rows_out,
+                columns=[id_col, target_id_col, target_lat, target_lon, "distance_m", "knn_rank"],
+            )
+
+    out = queries.select(id_col, lat_col, lon_col).mapInPandas(gen, schema)
+    return out.join(queries, on=id_col)
+
+
 def _ring_guarantee_udf(res: int, k: int):
     @F.pandas_udf("double")
     def guar(lat: pd.Series) -> pd.Series:

@@ -119,3 +119,20 @@ def test_banding_monotone(spark):
     )
     row2 = df2.collect()[0]
     assert [row2[f"e{i}"] for i in range(5)] == [100, 90, 80, 70, 20]
+
+
+def test_knn_broadcast_matches_ring(spark):
+    from mass_georeferencing_spark.operators.knn import knn_join_broadcast
+
+    qrows = [(f"q{i}", float((i * 41) % 160 - 80) + 0.3, float((i * 59) % 350 - 175) + 0.3) for i in range(30)]
+    trows = [(f"t{j}", float((j * 23) % 160 - 80) + 0.7, float((j * 71) % 350 - 175) + 0.7) for j in range(40)]
+    q = spark.createDataFrame(qrows, ["query_id", "lat", "lon"])
+    t = spark.createDataFrame(trows, ["target_id", "target_lat", "target_lon"])
+    ring = {
+        (r.query_id, r.knn_rank): r.target_id for r in knn_join(q, t, k=2, res=2).collect()
+    }
+    bc = {
+        (r.query_id, r.knn_rank): r.target_id
+        for r in knn_join_broadcast(q, t, k=2).collect()
+    }
+    assert ring == bc
