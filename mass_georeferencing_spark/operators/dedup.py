@@ -286,6 +286,76 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_lsh_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for cosine near-dup: random-hyperplane LSH.
+
+    sign(v·h_i) over ``n_planes`` seeded hyperplanes → a bit signature whose
+    Hamming distance estimates the angle; signatures are banded (pigeonhole)
+    and candidate pairs join on (band, band bits) — per-bucket quadratic
+    instead of global. Exact cosine verifies survivors. Signature bits are
+    computed JVM-side (aggregate over a broadcast literal plane matrix), so
+    the only Python is none at all.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    e = embeddings.withColumn("_v", v)
+    # bit i = (v · plane_i) >= 0, packed into a long, JVM-only arithmetic
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda a_, b_: a_ * b_,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    e = e.withColumn("_sig", sig)
+    width = n_planes // n_bands
+    banded = e.select(
+        id_col,
+        "_v",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "_v", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "band", "band_val")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "band", "band_val")
+    pairs = (
+        a.join(b, on=["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("cosine", cosine_col(F.col("_va"), F.col("_vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

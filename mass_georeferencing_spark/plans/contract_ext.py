@@ -41,6 +41,13 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: LSH bucketing; exactness of survivors pinned by test_dedup.py
+    return dedup.embedding_lsh_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.42
+    )
+
+
 def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
@@ -183,6 +190,7 @@ def queries_ext() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_lsh_near_dup": _q_emb_lsh_near_dup,
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "text_quality": _q_text_quality,

@@ -92,3 +92,33 @@ def test_embedding_near_dup_blocked(spark):
     out = dedup.embedding_near_dup_pairs(df, threshold=0.95).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
     assert out[0].cosine == pytest.approx(0.9992, abs=1e-3)
+
+
+def test_embedding_lsh_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64)
+    rows = []
+    # 5 clusters of 3 near-identical vectors + 20 random vectors
+    for c in range(5):
+        v = rng.standard_normal(64)
+        for j in range(3):
+            noisy = v + rng.standard_normal(64) * 0.01
+            rows.append((c * 10 + j, [float(x) for x in noisy], 0))
+    for i in range(20):
+        rows.append((1000 + i, [float(x) for x in rng.standard_normal(64)], 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_pairs(df, threshold=0.95, block_col=None).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_lsh_near_dup(df, threshold=0.95).collect()
+    }
+    assert lsh <= exact  # LSH never invents pairs (exact verify)
+    assert len(exact) == 15  # 5 clusters x C(3,2)
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, recall  # near-identical vectors collide in >=1 band
