@@ -53,7 +53,10 @@ def main() -> None:
             explode_alternate_names,
             normalize_candidates,
         )
-        from mass_georeferencing_spark.operators.record_groups import build_record_groups
+        from mass_georeferencing_spark.operators.record_groups import (
+            build_record_groups,
+            group_id,
+        )
         from mass_georeferencing_spark.operators.scoring import melt_scores, prune_low_scores
         from mass_georeferencing_spark.operators.topk import topk_per_group
 
@@ -62,8 +65,14 @@ def main() -> None:
         gaz = bench.amplified_gazetteer(spark, args.sf_dir, max(args.amplify // 4, 1))
         groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
         candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
+        scored = fuzzy_candidate_join(
+            groups, candidates, broadcast_candidates=True
+        ).withColumn(
+            "candidate_id",
+            group_id(F.col("recgroup_id"), F.col("uid"), F.col("data_source")),
+        )
         top = topk_per_group(
-            fuzzy_candidate_join(groups, candidates, broadcast_candidates=True),
+            scored,
             partition_cols=["recgroup_id"],
             order_cols=["score1", "score2", "score_state", "no_features"],
         ).persist()
