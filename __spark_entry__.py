@@ -51,8 +51,32 @@ _HAV = (
 )
 
 
+_shipped = False
+
+
+def _ensure_py_files(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) so the driver harness can run
+    from any cwd — the local-mode equivalent of spark-submit --py-files."""
+    global _shipped
+    if _shipped:
+        return
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "mgs_pkg"),
+        "zip",
+        root_dir=repo,
+        base_dir="mass_georeferencing_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped = True
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_py_files(spark)
     from mass_georeferencing_spark.plans.pipeline import flagship
 
     return flagship(spark, "/root/testdata/sf0.001")
@@ -289,11 +313,19 @@ def _q_j1_fuzzy_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_py_files(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from mass_georeferencing_spark.plans.contract_ext import queries_ext
     from mass_georeferencing_spark.plans.contract_ext2 import queries_ext2
 
-    return {
+    return {k: _wrap(v) for k, v in {
         **queries_ext(),
         **queries_ext2(),
         "a1_record_groups": _q_a1_record_groups,
@@ -316,7 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_pip_anti": _q_j4_pip_anti,
         "skeleton_pipeline": _q_skeleton_pipeline,
         "j1_fuzzy_flagship": _q_j1_fuzzy_flagship,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
