@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="parquet output dir (omit: noop sink)")
     ap.add_argument("--checkpoint-dir", default=None, help="enable resumable stage checkpointing")
     ap.add_argument("--amplify", type=int, default=1, help="deterministic workload multiplier")
+    ap.add_argument("--gaz-amplify", type=int, default=None, help="gazetteer multiplier (default amplify//4)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,7 +63,9 @@ def main() -> None:
 
         pages = bench.amplified_pages(spark, args.sf_dir, args.amplify)
         mentions = bench.amplified_mentions(pages)
-        gaz = bench.amplified_gazetteer(spark, args.sf_dir, max(args.amplify // 4, 1))
+        gaz = bench.amplified_gazetteer(
+            spark, args.sf_dir, args.gaz_amplify or max(args.amplify // 4, 1)
+        )
         groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
         candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
         scored = fuzzy_candidate_join(

@@ -37,6 +37,16 @@ TOKEN_COUNT_SQL = (
     "ELSE len(regexp_split_to_array(trim({t}), '\\s+')) END"
 )
 
+# BPE-ish subword-boundary tokenizer: word runs and individual punctuation marks
+# each count as a token (the pre-tokenization regex family GPT-style BPEs use)
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex — pure JVM
+    (regexp_count, codegen)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
 
 def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: n_chars, n_tokens, avg_token_len, punct_ratio,

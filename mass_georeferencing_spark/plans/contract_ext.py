@@ -67,7 +67,10 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return textstats.quality_metrics(docs).drop("text")
+    out = textstats.quality_metrics(docs)
+    return out.withColumn(
+        "n_tokens_bpe", textstats.bpe_token_count(F.col("text")).cast("long")
+    ).drop("text")
 
 
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +259,8 @@ def oracle_ext() -> dict[str, str]:
                      / greatest(CASE WHEN trim(text) = '' THEN 0
                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE, 4) AS stopword_ratio,
                    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                     / greatest(length(text), 1)::DOUBLE, 4) AS digit_ratio
+                     / greatest(length(text), 1)::DOUBLE, 4) AS digit_ratio,
+                   CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents
         """,
         "text_fingerprint": (

@@ -14,7 +14,7 @@ AMP=${SPARK_GRAFT_AMPLIFY:-24}
   echo "|---|---|"
   for M in "local[2]" "local[8]"; do
     OUT=$(spark-submit --master "$M" --py-files /tmp/mgs.zip \
-      jobs/georeference_job.py --sf-dir "$SF" --amplify "$AMP" 2>/dev/null | tail -1)
+      jobs/georeference_job.py --sf-dir "$SF" --amplify "$AMP" --gaz-amplify "$AMP" 2>/dev/null | tail -1)
     echo "| $M | \`$OUT\` |"
   done
 } >> BENCH/BASELINE.md
