@@ -29,9 +29,27 @@ def main() -> None:
     ap.add_argument("--gaz-amplify", type=int, default=None, help="gazetteer multiplier (default amplify//4)")
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("mass-georeferencing").getOrCreate()
+    # same scale-tuned session defaults as session.get_spark (master/deploy come
+    # from spark-submit; these configs are no-ops if overridden via --conf)
+    cpus = os.cpu_count() or 8
+    spark = (
+        SparkSession.builder.appName("mass-georeferencing")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )
+    # size reducer count to the ACTUAL parallelism of this run, not the global 200
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()

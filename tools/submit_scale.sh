@@ -13,7 +13,7 @@ AMP=${SPARK_GRAFT_AMPLIFY:-24}
   echo "| master | result |"
   echo "|---|---|"
   for M in "local[2]" "local[8]"; do
-    OUT=$(spark-submit --master "$M" --py-files /tmp/mgs.zip \
+    OUT=$(spark-submit --master "$M" --driver-memory 8g --py-files /tmp/mgs.zip \
       jobs/georeference_job.py --sf-dir "$SF" --amplify "$AMP" --gaz-amplify "$AMP" 2>/dev/null | tail -1)
     echo "| $M | \`$OUT\` |"
   done
