@@ -38,3 +38,23 @@ def test_property_equivalence(pairs):
 def test_unicode_and_long_fallback(pair):
     a, b = pair
     _check_all([a], [b])
+
+
+@given(st.lists(st.tuples(WORDS, WORDS, WORDS), min_size=1, max_size=25))
+@settings(max_examples=150, deadline=None)
+def test_score_pair_prune_sound(triples):
+    # the prune short-circuit may alter scores only for pairs that the
+    # downstream threshold filter drops either way
+    from mass_georeferencing_spark.operators.fuzzy_join import (
+        FUZZY_SUM_THRESHOLD,
+        score_pair,
+    )
+
+    for qf, qn, nm in triples:
+        exact = score_pair(qf, qn, nm, threshold=None)
+        pruned = score_pair(qf, qn, nm, threshold=FUZZY_SUM_THRESHOLD)
+        keep_exact = sum(exact) > FUZZY_SUM_THRESHOLD
+        keep_pruned = sum(pruned) > FUZZY_SUM_THRESHOLD
+        assert keep_exact == keep_pruned, (qf, qn, nm, exact, pruned)
+        if keep_exact:
+            assert exact == pruned
