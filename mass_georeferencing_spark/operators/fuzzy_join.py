@@ -13,21 +13,25 @@ countrycode) — Catalyst turns it into a broadcast hash join when the gazetteer
 slice is small, else a shuffled hash join; AQE splits skewed blocks.
 
 Scale design (100 TB):
-1. **Dedup-before-score**: the joined (group × candidate) pairs repeat the same
-   (query, name) strings many times (many groups share a mention; many candidates
-   share a name). We score DISTINCT string pairs once, then hash-join scores back.
-   At web scale this cuts Python work by the pair-multiplicity factor; both extra
-   shuffles hash on the same pair key.
-2. **Vectorized scoring**: one Arrow batch → one pandas UDF call computing all
-   three scores; per-batch memoization catches residual duplicates. No per-row
-   Python dispatch (input_hint).
-3. **Cheap upper-bound pruning** inside the kernel: LCS(a,b) is bounded by the
-   multiset character intersection; if the bound already caps score1 and score2
-   under the threshold the O(n·m/64) DP is skipped (replaces the reference's
-   pg_trgm GIN index, SURVEY.md O4).
-4. **Salting**: optional `salt` splits a hot block key into ``salt`` sub-blocks by
-   replicating the (smaller) candidate side — megacity/no-state skew (SURVEY.md
-   §7.3). With AQE skew-join on, this is only needed for extreme 1000× skews.
+1. **Dedup-before-score**: groups and candidates repeat the same (query, name)
+   strings many times. Scoring runs over DISTINCT queries × DISTINCT names per
+   block — the distinct query side is repartitioned round-robin and the distinct
+   name side broadcast-joined onto it, so the pair space is generated, scored,
+   and threshold-filtered in ONE fully parallel stage with no pair-level shuffle.
+2. **Vectorized scoring**: the bit-parallel LCS DP runs as uint64 numpy ops over
+   the whole Arrow batch (functions/fuzzy_batch.py), chunked to stay L2-resident.
+   No per-row Python dispatch (input_hint).
+3. **Threshold-before-join-back**: only surviving pairs (orders of magnitude
+   fewer) join back as groups ⋈ pairs ⋈ candidates — the blocked cross product
+   is never materialized, and both join-backs are broadcast-able (AQE promotes
+   them from measured runtime sizes). This replaces the reference's pg_trgm GIN
+   index role (SURVEY.md O4) with blocking + dedup + vectorization.
+4. **State scores deduplicated** the same way: distinct (state, province) pairs
+   scored once, broadcast back.
+5. **Salting**: optional `salt` splits a hot block key into ``salt`` sub-blocks —
+   megacity/no-state skew (SURVEY.md §7.3). With the broadcast pair-generation
+   path, hot keys never shuffle at all, so this matters only for the
+   ``dedup_pairs=False`` blocked-product fallback.
 """
 
 from __future__ import annotations
