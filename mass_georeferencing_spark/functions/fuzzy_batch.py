@@ -207,35 +207,52 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
 
 
 def batch_token_set_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
-    """Vectorized fuzzy.token_set_ratio: python set algebra builds the three
-    reconstruction strings, one batched ratio call scores them all."""
+    """Vectorized fuzzy.token_set_ratio. Of the three reconstruction ratios,
+    ratio(s0,s1) and ratio(s0,s2) have CLOSED FORMS — s0 (the sorted token
+    intersection) is a prefix of s1/s2, so LCS(s0,sX) = len(s0) and the ratio
+    is 200·len(s0)/(len(s0)+len(sX)). Only ratio(s1,s2) runs the batched DP.
+    Token splits are memoized per distinct string (queries repeat across the
+    pair space)."""
     n = len(a_list)
     out = np.zeros(n, dtype=np.float64)
-    tri_a: list[str] = []
-    tri_b: list[str] = []
-    tri_owner: list[int] = []
+    pair_a: list[str] = []
+    pair_b: list[str] = []
+    pair_owner: list[int] = []
+    tok_cache: dict[str, set[str]] = {}
+
+    def toks(s: str) -> set[str]:
+        t = tok_cache.get(s)
+        if t is None:
+            t = set(s.split())
+            tok_cache[s] = t
+        return t
+
     for i in range(n):
-        ta = set(a_list[i].split())
-        tb = set(b_list[i].split())
+        ta = toks(a_list[i])
+        tb = toks(b_list[i])
         if not ta and not tb:
             out[i] = 100.0
             continue
         if not ta or not tb:
             out[i] = 0.0
             continue
-        inter = sorted(ta & tb)
-        d_ab = sorted(ta - tb)
-        d_ba = sorted(tb - ta)
+        inter = ta & tb
+        d_ab = ta - tb
+        d_ba = tb - ta
         if inter and not d_ab and not d_ba:
             out[i] = 100.0
             continue
-        s0 = " ".join(inter)
-        s1 = (s0 + " " + " ".join(d_ab)).strip()
-        s2 = (s0 + " " + " ".join(d_ba)).strip()
-        tri_a.extend((s0, s0, s1))
-        tri_b.extend((s1, s2, s2))
-        tri_owner.extend((i, i, i))
-    if tri_owner:
-        scores = batch_ratio(tri_a, tri_b)
-        np.maximum.at(out, np.asarray(tri_owner), scores)
+        s0 = " ".join(sorted(inter))
+        s1 = (s0 + " " + " ".join(sorted(d_ab))).strip()
+        s2 = (s0 + " " + " ".join(sorted(d_ba))).strip()
+        l0, l1, l2 = len(s0), len(s1), len(s2)
+        r01 = 200.0 * l0 / (l0 + l1) if (l0 + l1) else 100.0
+        r02 = 200.0 * l0 / (l0 + l2) if (l0 + l2) else 100.0
+        out[i] = max(r01, r02)
+        pair_a.append(s1)
+        pair_b.append(s2)
+        pair_owner.append(i)
+    if pair_owner:
+        scores = batch_ratio(pair_a, pair_b)
+        np.maximum.at(out, np.asarray(pair_owner), scores)
     return out
