@@ -147,6 +147,12 @@ def build_suite(spark: SparkSession, sf_dir: str):
         return pip_join(pts, aoi, strategy="cells", res=5)
 
     def knn_elev():
+        # strategy choice mirrors production: the elevation grid is a SMALL
+        # target set (10^4-10^6), so the broadcast-brute variant wins (zero
+        # shuffles); the ring-expansion variant is for web-scale targets and is
+        # contract+oracle-verified at sf0.01 (j6_knn_elevation)
+        from mass_georeferencing_spark.operators.knn import knn_join_broadcast
+
         q = (
             mentions.where(F.col("lat").isNotNull())
             .dropDuplicates(["url"])
@@ -157,7 +163,7 @@ def build_suite(spark: SparkSession, sf_dir: str):
             F.col("lat").alias("target_lat"),
             F.col("lon").alias("target_lon"),
         )
-        return knn_join(q, elev, k=1, res=3)
+        return knn_join_broadcast(q, elev, k=1)
 
     def dedup_minhash():
         docs = pages.select(F.col("doc_id"), F.col("text"))

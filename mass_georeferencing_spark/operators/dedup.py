@@ -159,7 +159,14 @@ def minhash_bands(
                     hashes.append(bh)
             yield pd.DataFrame({id_col: ids, "band": bands, "band_hash": hashes})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(id_col, text_col)
+        # explicit spread before the signature UDF (AQE coalesces by bytes,
+        # starving compute-heavy Python stages — same fix as fuzzy_join)
+        .repartition(2 * parallelism)
+        .mapInPandas(gen, schema)
+    )
 
 
 def minhash_candidate_pairs(
@@ -226,7 +233,10 @@ def simhash_fingerprints(
     def sh(texts: pd.Series) -> pd.Series:
         return pd.Series([simhash64(t or "") for t in texts], index=texts.index, dtype="int64")
 
-    return docs.select(id_col, sh(F.col(text_col)).alias("simhash"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col, text_col).repartition(2 * parallelism).select(
+        id_col, sh(F.col(text_col)).alias("simhash")
+    )
 
 
 def simhash_near_pairs(

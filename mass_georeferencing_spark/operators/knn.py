@@ -34,8 +34,17 @@ from ..functions import cells as C
 from ..functions.geo import haversine_col
 
 
-def _explode_rings(points: DataFrame, res: int, k: int, id_col: str, lat_col: str, lon_col: str) -> DataFrame:
-    """(id, lat, lon) → one row per cell in ring(k) of the point's cell."""
+def _explode_rings(
+    points: DataFrame,
+    res: int,
+    k: int,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    full_disk: bool = False,
+) -> DataFrame:
+    """(id, lat, lon) → one row per cell in ring(k) — or the full k-ring disk
+    when ``full_disk`` (used for the first probe round)."""
     schema = StructType(
         [
             StructField(id_col, points.schema[id_col].dataType),
@@ -50,7 +59,7 @@ def _explode_rings(points: DataFrame, res: int, k: int, id_col: str, lat_col: st
                 pdf[lat_col].to_numpy(np.float64), pdf[lon_col].to_numpy(np.float64), res
             )
             for pid, cell in zip(pdf[id_col], cell_ids):
-                ring_cells = C.ring(int(cell), k)
+                ring_cells = C.k_ring(int(cell), k) if full_disk else C.ring(int(cell), k)
                 ids.extend([pid] * len(ring_cells))
                 cells_out.extend(ring_cells.tolist())
             yield pd.DataFrame({id_col: ids, "_cell": cells_out})
@@ -70,11 +79,18 @@ def knn_join(
     target_lat: str = "target_lat",
     target_lon: str = "target_lon",
     max_rounds: int = 12,
+    initial_k: int = 1,
 ) -> DataFrame:
     """Exact k-nearest ``targets`` per query point via ring expansion.
 
     Output: query columns + target_id, target_lat, target_lon, distance_m, knn_rank.
     ``targets`` must have globally unique ``target_id``.
+
+    ``initial_k``: the first round probes the whole k-ring disk of this radius
+    (neighbors included immediately), so typical points settle on round 2 —
+    driver-side rounds carry fixed scheduling cost, so fewer, fatter rounds win.
+    Pick ``res`` so cells hold ~10²-10³ targets; a too-fine grid multiplies
+    rounds, a too-coarse one multiplies exact-distance evaluations (JVM, cheap).
     """
     t = targets.withColumn(
         "_cell", C.latlng_to_cell_col(F.col(target_lat), F.col(target_lon), res)
@@ -85,8 +101,11 @@ def knn_join(
     unsettled = q
     spark = queries.sparkSession
 
-    for r in range(max_rounds):
-        probe = _explode_rings(unsettled, res, r, id_col, lat_col, lon_col)
+    r = initial_k
+    for round_no in range(max_rounds):
+        probe = _explode_rings(
+            unsettled, res, r, id_col, lat_col, lon_col, full_disk=(round_no == 0)
+        )
         hits = (
             probe.join(t, on="_cell")
             .join(unsettled, on=id_col)
@@ -119,6 +138,7 @@ def knn_join(
         unsettled = unsettled.join(settled, on=id_col, how="left_anti").localCheckpoint(eager=True)
         if unsettled.isEmpty():
             break
+        r += 1
 
     result = best.join(queries, on=[id_col, lat_col, lon_col])
     return result
@@ -190,7 +210,14 @@ def knn_join_broadcast(
                 columns=[id_col, target_id_col, target_lat, target_lon, "distance_m", "knn_rank"],
             )
 
-    out = queries.select(id_col, lat_col, lon_col).mapInPandas(gen, schema)
+    parallelism = queries.sparkSession.sparkContext.defaultParallelism
+    out = (
+        queries.select(id_col, lat_col, lon_col)
+        # explicit spread: AQE coalesces upstream output by bytes and would run
+        # the compute-heavy distance matrix on a handful of partitions
+        .repartition(2 * parallelism)
+        .mapInPandas(gen, schema)
+    )
     return out.join(queries, on=id_col)
 
 
