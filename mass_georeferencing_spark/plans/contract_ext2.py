@@ -137,6 +137,57 @@ def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("recgroup_id", "uid", F.round("score", 2).alias("score"))
 
 
+HIST_DIMS_CTE = """
+hist_dims AS (
+  SELECT 'hd:' || n_nationkey AS uid,
+         replace(lower(n_name), '_', ' ') AS entity,
+         make_timestamp((1704067200 + (n_nationkey * 97) % 300 * 60) * CAST(1000000 AS BIGINT)) AS valid_from,
+         make_timestamp((1704067200 + (n_nationkey * 97) % 300 * 60
+            + (1 + n_nationkey % 7) * 3600) * CAST(1000000 AS BIGINT)) AS valid_to,
+         make_timestamp((1704067200 + (n_nationkey * 137) % 480 * 60) * CAST(1000000 AS BIGINT)) AS version_ts,
+         CASE n_nationkey % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'es'
+              WHEN 3 THEN 'fr' ELSE 'zh' END AS lang
+  FROM nation
+)"""
+
+
+def _hist_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    langs = F.array(F.lit("en"), F.lit("de"), F.lit("es"), F.lit("fr"), F.lit("zh"))
+    base = F.lit(1704067200)
+    return nation.select(
+        F.concat(F.lit("hd:"), F.col("n_nationkey")).alias("uid"),
+        F.replace(F.lower(F.col("n_name")), F.lit("_"), F.lit(" ")).alias("entity"),
+        F.timestamp_seconds(base + (F.col("n_nationkey") * 97) % 300 * 60).alias("valid_from"),
+        F.timestamp_seconds(
+            base + (F.col("n_nationkey") * 97) % 300 * 60 + (1 + F.col("n_nationkey") % 7) * 3600
+        ).alias("valid_to"),
+        F.timestamp_seconds(base + (F.col("n_nationkey") * 137) % 480 * 60).alias("version_ts"),
+        F.element_at(langs, (F.col("n_nationkey") % 5 + 1).cast("int")).alias("lang"),
+    )
+
+
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporal window join: warc_ts in [valid_from, valid_to) — the reference
+    # carried these columns unused (queries.py:256-265); bucket strategy
+    from ..operators.interval_join import interval_join
+
+    pages = syn.pages_df(spark, sf_dir).select("url", "warc_ts")
+    dims = _hist_dims(spark, sf_dir).select("uid", "valid_from", "valid_to")
+    out = interval_join(pages, dims, strategy="buckets", bucket_seconds=3600)
+    return out.select("url", "uid")
+
+
+def _q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of: latest dim version per lang with version_ts <= warc_ts
+    from ..operators.interval_join import as_of_join
+
+    pages = syn.pages_df(spark, sf_dir).select("url", "lang", "warc_ts")
+    dims = _hist_dims(spark, sf_dir).select("lang", "uid", "entity", "version_ts")
+    out = as_of_join(pages, dims, on=["lang"], ts_col="warc_ts")
+    return out.select("url", "lang", F.col("dim_uid").alias("uid"), F.col("dim_entity").alias("entity"))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F14 + rollup: multi-resolution tile counts (fold-up, no raw re-scan)
     from ..operators.tiles import tile_pyramid
@@ -156,6 +207,8 @@ def _q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "interval_join": _q_interval_join,
+        "as_of_join": _q_as_of_join,
         "tile_pyramid": _q_tile_pyramid,
         "adaptive_cells": _q_adaptive_cells,
         "f7_code_lookup": _q_f7_code_lookup,
@@ -182,6 +235,28 @@ def oracle_ext2() -> dict[str, str]:
     c2 = cell_oracle_sql("lat", "lon", 2)
     c4 = cell_oracle_sql("lat", "lon", 4)
     return {
+        "interval_join": W(
+            """
+            SELECT p.url, d.uid
+            FROM pages p JOIN hist_dims d
+              ON p.warc_ts >= d.valid_from AND p.warc_ts < d.valid_to
+            """,
+            syn.PAGES_CTE,
+            HIST_DIMS_CTE,
+        ),
+        "as_of_join": W(
+            """
+            SELECT url, lang, uid, entity FROM (
+              SELECT p.url, p.lang, d.uid, d.entity,
+                     ROW_NUMBER() OVER (PARTITION BY p.lang, p.url
+                       ORDER BY d.version_ts DESC) AS rn
+              FROM pages p JOIN hist_dims d
+                ON d.lang = p.lang AND d.version_ts <= p.warc_ts)
+            WHERE rn = 1
+            """,
+            syn.PAGES_CTE,
+            HIST_DIMS_CTE,
+        ),
         "tile_pyramid": W(
             """
             SELECT 12 AS res, cell, n FROM t12
