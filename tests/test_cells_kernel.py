@@ -114,3 +114,39 @@ def test_cell_span_reasonable():
     assert 4000 < w < 12000 and 4000 < h < 12000
     w_pole, _ = cell_span_m(89.0, 12)
     assert w_pole < w / 10
+
+
+@given(
+    st.floats(-170, 160),
+    st.floats(-80, 70),
+    st.lists(st.tuples(st.floats(0.1, 12.0), st.floats(0.1, 9.0)), min_size=3, max_size=7),
+    st.integers(3, 6),
+)
+@settings(max_examples=60, deadline=None)
+def test_polygon_cover_guarantee_random_polys(x0, y0, offsets, res):
+    """Cover soundness: EVERY point inside an arbitrary simple polygon maps to
+    a cell in the cover (the PIP join's no-false-negative contract)."""
+    import math as _math
+
+    import numpy as np
+
+    from mass_georeferencing_spark.functions.cells import latlng_to_cell, polygon_to_cells
+    from mass_georeferencing_spark.functions.geo import PreparedPolygon
+
+    # build a star-shaped simple polygon around (x0, y0)
+    pts = []
+    for i, (r1, r2) in enumerate(offsets):
+        ang = 2 * _math.pi * i / len(offsets)
+        pts.append([x0 + r1 * _math.cos(ang), y0 + r2 * _math.sin(ang)])
+    ring = np.array(pts + [pts[0]])
+    cover = set(polygon_to_cells([ring], res).tolist())
+    prep = PreparedPolygon([ring])
+    # probe a grid of points; every inside point's cell must be covered
+    xs = np.linspace(ring[:, 0].min(), ring[:, 0].max(), 15)
+    ys = np.linspace(ring[:, 1].min(), ring[:, 1].max(), 15)
+    gx, gy = np.meshgrid(xs, ys)
+    gx, gy = gx.ravel(), gy.ravel()
+    inside = prep.contains(gx, gy)
+    if inside.any():
+        cells = latlng_to_cell(gy[inside], gx[inside], res)
+        assert set(cells.tolist()) <= cover
