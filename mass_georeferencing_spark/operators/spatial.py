@@ -208,6 +208,144 @@ def pip_anti_join(
     return points.join(inside, on=keys, how="left_anti")
 
 
+def centroid_and_radius(
+    polygons: DataFrame,
+    wkb_col: str = "geom_wkb",
+    id_col: str = "polygon_id",
+) -> DataFrame:
+    """F13: polygon → (centroid_lat, centroid_lon, min_bound_radius_m).
+
+    The reference surfaces a selected polygon as centroid + minimum bounding
+    radius for the uncertainty field (ui/mass_georef_shiny/leafletmap.R:239-258,
+    app.R:1442). Centroid = area-weighted (shoelace) centroid of the shell
+    rings; radius = max haversine distance centroid→vertex (an upper bound of
+    the true min bounding radius, which is what 'uncertainty' needs)."""
+    schema = (
+        f"{id_col} {polygons.schema[id_col].dataType.simpleString()}, "
+        "centroid_lat double, centroid_lon double, min_bound_radius_m double"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.geo import haversine_m
+
+        for pdf in batches:
+            out = []
+            for pid, wkb in zip(pdf[id_col], pdf[wkb_col]):
+                rings = wkb_rings(bytes(wkb))
+                ring = np.asarray(rings[0], dtype=np.float64)
+                x, y = ring[:-1, 0], ring[:-1, 1]
+                x2, y2 = ring[1:, 0], ring[1:, 1]
+                cross = x * y2 - x2 * y
+                area = cross.sum() / 2.0
+                if abs(area) < 1e-12:
+                    cx, cy = float(x.mean()), float(y.mean())
+                else:
+                    cx = float(((x + x2) * cross).sum() / (6.0 * area))
+                    cy = float(((y + y2) * cross).sum() / (6.0 * area))
+                verts = np.vstack([r for r in rings])
+                d = haversine_m(
+                    np.full(len(verts), cx), np.full(len(verts), cy), verts[:, 0], verts[:, 1]
+                )
+                out.append((pid, cy, cx, float(d.max())))
+            yield pd.DataFrame(
+                out, columns=[id_col, "centroid_lat", "centroid_lon", "min_bound_radius_m"]
+            )
+
+    return polygons.select(id_col, wkb_col).mapInPandas(gen, schema)
+
+
+def build_range_wkb(
+    points: DataFrame,
+    group_col: str = "lang",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """J5 range build: per group, the convex hull of its known points as WKB —
+    the reference's species range = ST_Union(iucn) ∪ ST_ConvexHull(ST_Collect(
+    gbif points)) (batch_georeferencing/functions.py:26-43), built ONCE per
+    group and broadcast (the reference recomputed it per candidate row)."""
+    from ..functions.geo import convex_hull, wkb_point, wkb_polygon
+
+    grouped = points.where(F.col(lat_col).isNotNull()).select(group_col, lat_col, lon_col)
+    schema = f"{group_col} string, range_wkb binary, n_points long"
+
+    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[[lon_col, lat_col]].to_numpy(np.float64)
+        hull = convex_hull(pts)
+        if len(hull) >= 3:
+            ring = np.vstack([hull, hull[:1]])
+            wkb = wkb_polygon([ring])
+        else:
+            wkb = wkb_point(float(pts[0, 0]), float(pts[0, 1]))
+        return pd.DataFrame(
+            {group_col: [key[0]], "range_wkb": [wkb], "n_points": [len(pts)]}
+        )
+
+    return grouped.groupBy(group_col).applyInPandas(gen, schema)
+
+
+def range_distance_scores(
+    candidates: DataFrame,
+    ranges: DataFrame,
+    group_col: str = "lang",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    wkb_col: str = "range_wkb",
+) -> DataFrame:
+    """J5 scoring: candidate distance to its group's range geometry, banded
+    (functions.py:46-79). Ranges broadcast (one small row per group); distance
+    = 0 inside the hull, else min vertex/edge distance in degree space scaled
+    to meters at the candidate's latitude (matches the reference's planar
+    ST_Distance-in-3857 spirit without a CRS library)."""
+    from ..functions.geo import EARTH_RADIUS_M
+    from .scoring import distance_band_score
+
+    joined = candidates.join(F.broadcast(ranges), on=group_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        prep_cache: dict[bytes, PreparedPolygon] = {}
+        for pdf in batches:
+            dists = np.zeros(len(pdf), dtype=np.float64)
+            for wkb, idx in pdf.groupby(wkb_col, sort=False).groups.items():
+                key = bytes(wkb)
+                prep = prep_cache.get(key)
+                if prep is None:
+                    try:
+                        prep = PreparedPolygon(wkb_rings(key))
+                    except ValueError:  # point range (hull degenerated)
+                        prep = None
+                    prep_cache[key] = prep
+                rows = pdf.loc[idx]
+                lons = rows[lon_col].to_numpy(np.float64)
+                lats = rows[lat_col].to_numpy(np.float64)
+                pos = pdf.index.get_indexer(idx)
+                if prep is None:
+                    from ..functions.geo import decode_wkb, haversine_m
+
+                    _, (plon, plat) = decode_wkb(key)
+                    dists[pos] = haversine_m(lons, lats, np.full(len(lons), plon), np.full(len(lons), plat))
+                else:
+                    deg = prep.distance_deg(lons, lats)
+                    m_per_deg = math.pi * EARTH_RADIUS_M / 180.0
+                    dists[pos] = deg * m_per_deg * np.maximum(np.cos(np.radians(lats)), 0.2)
+            pdf = pdf.copy()
+            pdf["distance_m"] = dists
+            yield pdf
+
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields
+    )
+    refined = joined.mapInPandas(
+        lambda it: gen(it),
+        schema_str + ", distance_m double",
+    )
+    return refined.withColumn("score_range", distance_band_score(F.col("distance_m"))).drop(
+        wkb_col, "n_points"
+    )
+
+
 def distance_band_join(
     left: DataFrame,
     right: DataFrame,

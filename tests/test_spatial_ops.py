@@ -136,3 +136,50 @@ def test_knn_broadcast_matches_ring(spark):
         for r in knn_join_broadcast(q, t, k=2).collect()
     }
     assert ring == bc
+
+
+def test_centroid_and_radius_rect(spark):
+    from mass_georeferencing_spark.functions.geo import haversine_m
+    from mass_georeferencing_spark.operators.spatial import centroid_and_radius
+
+    polys = spark.createDataFrame(
+        [("p0", bytearray(_rect_wkb(-10, -5, 10, 5)))], ["polygon_id", "geom_wkb"]
+    )
+    row = centroid_and_radius(polys).collect()[0]
+    assert row.centroid_lat == pytest.approx(0.0, abs=1e-9)
+    assert row.centroid_lon == pytest.approx(0.0, abs=1e-9)
+    want = float(haversine_m(np.array([0.0]), np.array([0.0]), np.array([10.0]), np.array([5.0]))[0])
+    assert row.min_bound_radius_m == pytest.approx(want, rel=1e-9)
+
+
+def test_range_build_and_distance_scores(spark):
+    from mass_georeferencing_spark.operators.spatial import (
+        build_range_wkb,
+        range_distance_scores,
+    )
+
+    # known points form a square hull per group
+    pts = spark.createDataFrame(
+        [("en", float(la), float(lo)) for la in (0, 10) for lo in (0, 10)]
+        + [("en", 5.0, 5.0), ("de", 50.0, 50.0)],
+        ["lang", "lat", "lon"],
+    )
+    ranges = build_range_wkb(pts)
+    r = {x.lang: x for x in ranges.collect()}
+    assert r["en"].n_points == 5
+    assert r["de"].n_points == 1  # degenerate hull → point range
+
+    cands = spark.createDataFrame(
+        [
+            ("c_in", "en", 5.0, 5.0),     # inside hull → 100
+            ("c_near", "en", 5.0, 10.05), # ~5km east of hull edge → 95
+            ("c_far", "en", 5.0, 60.0),   # far → 60
+            ("c_de", "de", 50.0, 50.0),   # at the point range → 100
+        ],
+        ["uid", "lang", "lat", "lon"],
+    )
+    out = {x.uid: x for x in range_distance_scores(cands, ranges).collect()}
+    assert out["c_in"].score_range == 100
+    assert out["c_near"].score_range == 95
+    assert out["c_far"].score_range == 60
+    assert out["c_de"].score_range == 100
