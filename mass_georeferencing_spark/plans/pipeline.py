@@ -45,6 +45,7 @@ def georeference(
     min_score: float = MIN_SCORE,
     top_k: int = TOP_K,
     spatial: bool = True,
+    range_scoring: bool = False,
     broadcast_candidates: bool = True,
     cell_res: int = C.DEFAULT_POINT_RES,
 ) -> dict[str, DataFrame]:
@@ -95,6 +96,22 @@ def georeference(
         }
     else:
         score_cols = None
+
+    if range_scoring:
+        # the reference's spatial_match mode (settings.py.template, J5):
+        # per-lang range = convex hull of that lang's known coordinates,
+        # built once + broadcast; candidate distance to range banded
+        from ..operators.spatial import build_range_wkb, range_distance_scores
+
+        ranges = build_range_wkb(mentions.where(F.col("lat").isNotNull()))
+        top = range_distance_scores(
+            top.withColumnRenamed("lat", "cand_lat").withColumnRenamed("lon", "cand_lon"),
+            ranges,
+            lat_col="cand_lat",
+            lon_col="cand_lon",
+        ).withColumnRenamed("cand_lat", "lat").withColumnRenamed("cand_lon", "lon")
+        if score_cols is not None:
+            score_cols = {**score_cols, "locality.range": "score_range"}
 
     scores_long = melt_scores(top, score_cols=score_cols)
     kept = prune_low_scores(top, scores_long, min_score=min_score)

@@ -74,3 +74,14 @@ def test_cell_assignment_valid(result):
     kept = result["kept"]
     res_bits = kept.select((F.col("cell") % 32).alias("r")).distinct().collect()
     assert {r.r for r in res_bits} == {12}
+
+
+def test_range_scoring_mode(spark):
+    # the reference's spatial_match flag (settings.py.template:9, J5)
+    out = georeference(spark, SF_DIR, range_scoring=True)
+    kept = out["kept"]
+    assert "score_range" in kept.columns
+    scored = kept.where(F.col("score_range").isNotNull())
+    assert scored.count() > 0
+    bad = scored.where((F.col("score_range") < 60) | (F.col("score_range") > 100))
+    assert bad.count() == 0
