@@ -269,7 +269,7 @@ def build_range_wkb(
     grouped = points.where(F.col(lat_col).isNotNull()).select(group_col, lat_col, lon_col)
     schema = f"{group_col} string, range_wkb binary, n_points long"
 
-    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pts = pdf[[lon_col, lat_col]].to_numpy(np.float64)
         hull = convex_hull(pts)
         if len(hull) >= 3:
