@@ -46,6 +46,7 @@ def georeference(
     top_k: int = TOP_K,
     spatial: bool = True,
     range_scoring: bool = False,
+    elevation_scoring: bool = False,
     broadcast_candidates: bool = True,
     cell_res: int = C.DEFAULT_POINT_RES,
 ) -> dict[str, DataFrame]:
@@ -97,6 +98,48 @@ def georeference(
     else:
         score_cols = None
 
+    if elevation_scoring:
+        # the reference's elevation disambiguation (J6, functions.py:145-230,
+        # call site commented at batch_georeferencing.py:500-513): candidate →
+        # nearest elevation sample (broadcast kNN; grid is small) → banded
+        # |claimed − sampled| score. Claimed elevation = the group's inline
+        # elevation analog carried on the mention coords.
+        from ..operators.knn import knn_join_broadcast
+        from ..operators.scoring import elevation_band_score
+
+        elev = synthetic.elevation_grid_df(spark, sf_dir).select(
+            F.col("grid_id").alias("target_id"),
+            F.col("lat").alias("target_lat"),
+            F.col("lon").alias("target_lon"),
+            "elev_m",
+        )
+        cand_pts = (
+            top.select("candidate_id", F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
+            .where(F.col("q_lat").isNotNull())
+            .dropDuplicates(["candidate_id"])
+        )
+        nearest = knn_join_broadcast(
+            cand_pts.withColumnRenamed("candidate_id", "query_id"),
+            elev.drop("elev_m"),
+            k=1,
+            lat_col="q_lat",
+            lon_col="q_lon",
+        ).select(F.col("query_id").alias("candidate_id"), "target_id")
+        nearest = nearest.join(elev.select("target_id", "elev_m"), on="target_id")
+        top = top.join(
+            F.broadcast(nearest.select("candidate_id", F.col("elev_m").alias("_elev"))),
+            on="candidate_id",
+            how="left",
+        ).withColumn(
+            "score_elevation",
+            F.when(
+                F.col("_elev").isNotNull() & F.col("group_lat").isNotNull(),
+                elevation_band_score(
+                    (F.abs(F.col("group_lat")) * 30) - F.col("_elev")
+                ).cast("double"),
+            ),
+        ).drop("_elev")
+
     if range_scoring:
         # the reference's spatial_match mode (settings.py.template, J5):
         # per-lang range = convex hull of that lang's known coordinates,
@@ -112,6 +155,8 @@ def georeference(
         ).withColumnRenamed("cand_lat", "lat").withColumnRenamed("cand_lon", "lon")
         if score_cols is not None:
             score_cols = {**score_cols, "locality.range": "score_range"}
+    if elevation_scoring and score_cols is not None:
+        score_cols = {**score_cols, "elevation": "score_elevation"}  # functions.py:179
 
     scores_long = melt_scores(top, score_cols=score_cols)
     kept = prune_low_scores(top, scores_long, min_score=min_score)

@@ -85,3 +85,17 @@ def test_range_scoring_mode(spark):
     assert scored.count() > 0
     bad = scored.where((F.col("score_range") < 60) | (F.col("score_range") > 100))
     assert bad.count() == 0
+
+
+def test_elevation_scoring_mode(spark):
+    # reference: elevation disambiguation J6 (functions.py:145-230)
+    out = georeference(spark, SF_DIR, elevation_scoring=True)
+    kept = out["kept"]
+    assert "score_elevation" in kept.columns
+    scored = kept.where(F.col("score_elevation").isNotNull())
+    assert scored.count() > 0
+    bad = scored.where((F.col("score_elevation") < 20) | (F.col("score_elevation") > 100))
+    assert bad.count() == 0
+    # the elevation score participates in the mean (EAV long-form)
+    types = {r.score_type for r in out["scores_long"].select("score_type").distinct().collect()}
+    assert "elevation" in types
