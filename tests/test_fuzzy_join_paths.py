@@ -1,0 +1,47 @@
+"""Fuzzy join physical-path equivalence + edge cases: every strategy flag is a
+physical rewrite, never a semantic one."""
+
+from pyspark.sql import functions as F
+
+from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_candidate_join
+from mass_georeferencing_spark.operators.layers import normalize_candidates
+from mass_georeferencing_spark.operators.record_groups import build_record_groups
+from mass_georeferencing_spark.sources import synthetic as syn
+
+from conftest import SF_DIR
+
+
+def _key(r):
+    return (r.recgroup_id, r.uid, r.data_source, r.score1, r.score2, r.score_state)
+
+
+def test_dedup_vs_blocked_product_equal(spark):
+    groups = build_record_groups(syn.mentions_df(spark, SF_DIR))
+    cands = normalize_candidates(syn.gazetteer_df(spark, SF_DIR))
+    dedup = sorted(map(_key, fuzzy_candidate_join(groups, cands, dedup_pairs=True).collect()))
+    blocked = sorted(map(_key, fuzzy_candidate_join(groups, cands, dedup_pairs=False).collect()))
+    assert dedup == blocked
+
+
+def test_broadcast_flags_equal(spark):
+    groups = build_record_groups(syn.mentions_df(spark, SF_DIR))
+    cands = normalize_candidates(syn.gazetteer_df(spark, SF_DIR))
+    a = sorted(map(_key, fuzzy_candidate_join(groups, cands).collect()))
+    b = sorted(
+        map(
+            _key,
+            fuzzy_candidate_join(
+                groups, cands, broadcast_candidates=True, broadcast_scored_pairs=True
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_empty_sides(spark):
+    groups = build_record_groups(syn.mentions_df(spark, SF_DIR))
+    cands = normalize_candidates(syn.gazetteer_df(spark, SF_DIR))
+    no_groups = groups.where(F.lit(False))
+    no_cands = cands.where(F.lit(False))
+    assert fuzzy_candidate_join(no_groups, cands).count() == 0
+    assert fuzzy_candidate_join(groups, no_cands).count() == 0

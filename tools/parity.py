@@ -60,12 +60,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, tol: flo
                 neq = sv.astype(str) != dv.astype(str)
                 i = neq.idxmax()
                 errs.append(f"{name}.{c}: value mismatch at row {i}: {sv[i]!r} vs {dv[i]!r}")
-    # dtype class check (int vs float vs str) — approximates the driver schema gate
+    # dtype check — strict: exact pandas dtype match approximates the driver's
+    # schema gate (int32 vs int64 mismatches surface here)
     for c in s.columns:
         sk = _kind(s[c])
         dk = _kind(d[c])
         if sk != dk:
             errs.append(f"{name}.{c}: dtype kind {sk} vs {dk} ({s[c].dtype} vs {d[c].dtype})")
+        elif str(s[c].dtype) != str(d[c].dtype):
+            errs.append(
+                f"{name}.{c}: STRICT dtype mismatch {s[c].dtype} vs {d[c].dtype}"
+            )
     return errs
 
 
