@@ -73,24 +73,40 @@ def as_of_join(
 ) -> DataFrame:
     """As-of join: for each fact, the LATEST dim version with
     version_ts ≤ fact ts, per ``on`` key — the classic temporal-lookup
-    (dimension snapshots, price tables). Built as: candidate versions ≤ ts
-    (equi-join on key [+ time bucket prefilter]) → row_number over version_ts
-    desc → keep 1."""
+    (dimension snapshots, price tables).
+
+    Built dedup-first so fact multiplicity is preserved exactly: DISTINCT
+    (key, ts) pairs join the candidate versions, a row_number window picks the
+    best version per (key, ts), and facts join back on (key, ts). Two distinct
+    facts sharing a (key, ts) each keep their own output row (they map to the
+    same best version), and identical duplicate fact rows keep their
+    multiplicity — the window never partitions over fact payload columns.
+    Dim versions tying on version_ts resolve deterministically by the remaining
+    dim payload columns ascending.
+
+    The distinct (key, ts) set is also the scale win: the non-equi version
+    range join runs over the deduplicated keys, not every fact row.
+    """
     from pyspark.sql import Window
 
+    key_cols = [*on, ts_col]
+    keys = facts.select(*key_cols).distinct()
     cond = [F.col(f"f.{c}") == F.col(f"d.{c}") for c in on]
-    f = facts.alias("f")
+    f = keys.alias("f")
     d = dims.alias("d")
     joined = f.join(d, on=[*cond, F.col(f"d.{version_ts_col}") <= F.col(f"f.{ts_col}")])
-    # dedupe the alias ambiguity: keep fact cols + dim payload cols
-    fact_cols = [F.col(f"f.{c}") for c in facts.columns]
-    dim_payload = [
-        F.col(f"d.{c}").alias(f"dim_{c}") for c in dims.columns if c not in on
+    dim_payload_names = [c for c in dims.columns if c not in on]
+    sel = joined.select(
+        *[F.col(f"f.{c}") for c in key_cols],
+        *[F.col(f"d.{c}").alias(f"dim_{c}") for c in dim_payload_names],
+    )
+    order = [F.col(f"dim_{version_ts_col}").desc()] + [
+        F.col(f"dim_{c}").asc() for c in dim_payload_names if c != version_ts_col
     ]
-    sel = joined.select(*fact_cols, *dim_payload)
-    w = Window.partitionBy(*on, ts_col).orderBy(F.col(f"dim_{version_ts_col}").desc())
-    return (
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    best = (
         sel.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return facts.join(best, on=key_cols)

@@ -191,16 +191,22 @@ def knn_join_broadcast(
             d = haversine_m(
                 qlon[:, None], qlat[:, None], blon[None, :], blat[None, :]
             )
-            # top-k via argpartition then exact sort of the k candidates
+            # top-k via argpartition, widened to ALL candidates tying the k-th
+            # distance so boundary ties resolve by (distance, id) exactly like
+            # the ring-expansion variant (argpartition alone picks the boundary
+            # set by distance only, which could keep a higher id)
             if kk < len(ids):
                 part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                kth = d[np.arange(len(pdf))[:, None], part].max(axis=1)
             else:
-                part = np.tile(np.arange(len(ids)), (len(pdf), 1))
+                part = None
+                kth = d.max(axis=1) if len(ids) else np.zeros(len(pdf))
             rows_out = []
             for i in range(len(pdf)):
-                # exact sort of just the k candidates, same (distance, id)
-                # tie-break as the ring-expansion variant
-                sel = sorted(part[i].tolist(), key=lambda j: (d[i, j], ids_arr[j]))[:kk]
+                cand = np.flatnonzero(d[i] <= kth[i])
+                # exact sort of the boundary-inclusive candidate set, same
+                # (distance, id) tie-break as the ring-expansion variant
+                sel = sorted(cand.tolist(), key=lambda j: (d[i, j], ids_arr[j]))[:kk]
                 for rank, j in enumerate(sel, start=1):
                     rows_out.append(
                         (pdf[id_col].iloc[i], ids_arr[j], blat[j], blon[j], d[i, j], rank)

@@ -86,12 +86,14 @@ def prune_low_scores(
     min_score: float = MIN_SCORE,
 ) -> DataFrame:
     """J9: drop candidates whose mean score is below min_score (functions.py:313-346).
-    The reference DELETEs; we keep (immutable dataflow) — a broadcast-friendly
-    semi-join on the aggregated means."""
+    The reference DELETEs rows WHERE score IS NOT NULL AND score < threshold —
+    candidates with NO scores survive, so a null mean is KEPT here too (the
+    engine restates the delete as an immutable filter over a broadcast-friendly
+    join on the aggregated means)."""
     means = mean_scores(scores_long, id_col)
     return (
         candidates.join(means, on=id_col, how="left")
-        .where(F.coalesce(F.col("mean_score"), F.lit(0.0)) >= F.lit(min_score))
+        .where(F.col("mean_score").isNull() | (F.col("mean_score") >= F.lit(min_score)))
     )
 
 

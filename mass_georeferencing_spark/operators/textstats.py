@@ -135,11 +135,18 @@ def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
 
 
 def build_lang_profiles(
-    docs: DataFrame, text_col: str = "text", lang_col: str = "lang", top_n: int = 300
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_n: int = 300,
+    max_sample: int = 10_000,
 ) -> dict[str, dict[str, float]]:
     """Train per-language char-trigram frequency profiles from a labeled sample.
-    Driver-side over a collected sample — profiles are tiny and broadcast."""
-    sample = docs.select(lang_col, text_col).toPandas()
+    Driver-side over a collected sample — profiles are tiny and broadcast.
+    ``max_sample`` caps the collect INSIDE the function (safe by construction:
+    a caller handing in a 10^9-row table still collects at most ``max_sample``
+    rows; pass a pre-limited/pre-sampled frame to control which rows train)."""
+    sample = docs.select(lang_col, text_col).limit(max_sample).toPandas()
     profiles: dict[str, dict[str, float]] = {}
     for lang, grp in sample.groupby(lang_col):
         counts: Counter[str] = Counter()

@@ -32,6 +32,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def input_path_fingerprint(path: str) -> str:
+    """Content fingerprint of a local input directory: (relpath, size, mtime_ns)
+    of every data file, hashed. The parquet-directory stand-in for an Iceberg
+    snapshot id — source stages pass it so a resume against CHANGED input data
+    invalidates instead of silently reusing stale checkpoints."""
+    entries: list[tuple[str, int, int]] = []
+    for root, _dirs, files in os.walk(path):
+        for fn in sorted(files):
+            if fn.startswith((".", "_")):
+                continue
+            full = os.path.join(root, fn)
+            st = os.stat(full)
+            entries.append((os.path.relpath(full, path), st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return hashlib.md5(json.dumps(entries).encode()).hexdigest()
+
+
 class CheckpointRunner:
     def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "run"):
         self.spark = spark
@@ -157,13 +174,19 @@ def run_georeference_checkpointed(
 
     ck = CheckpointRunner(spark, base_dir, run_id)
 
+    # source stages carry an input fingerprint so resuming the same run_id
+    # after the sf_dir data changes invalidates (content-addressed, like the
+    # snapshot-id a real Iceberg source would pass)
+    src_fp = input_path_fingerprint(sf_dir)
     groups = ck.run_stage(
         "groups",
         lambda: build_record_groups(synthetic.mentions_df(spark, sf_dir), coord_cols=("lat", "lon")),
+        input_fingerprint=src_fp,
     )
     candidates = ck.run_stage(
         "candidates",
         lambda: normalize_candidates(explode_alternate_names(synthetic.gazetteer_df(spark, sf_dir))),
+        input_fingerprint=src_fp,
     )
     top = ck.run_stage(
         "top",

@@ -86,3 +86,32 @@ def test_pipeline_kill_and_resume(spark, tmp_path):
     assert ck2.stages_built == []
     assert set(ck2.stages_skipped) == {"groups", "candidates", "top", "kept"}
     assert kept2.count() == n1
+
+
+def test_input_fingerprint_invalidates_on_data_change(spark, tmp_path):
+    from mass_georeferencing_spark.plans.checkpoint import input_path_fingerprint
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"aaaa")
+    fp1 = input_path_fingerprint(str(src))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3)
+
+    ck = CheckpointRunner(spark, str(tmp_path), "r3")
+    ck.run_stage("src", build, input_fingerprint=fp1)
+    assert calls["n"] == 1
+
+    # same data → resume skips
+    ck2 = CheckpointRunner(spark, str(tmp_path), "r3")
+    ck2.run_stage("src", build, input_fingerprint=input_path_fingerprint(str(src)))
+    assert calls["n"] == 1
+
+    # changed data → rebuild (size change; mtime alone also flips the hash)
+    (src / "part-0.parquet").write_bytes(b"bbbbbb")
+    ck3 = CheckpointRunner(spark, str(tmp_path), "r3")
+    ck3.run_stage("src", build, input_fingerprint=input_path_fingerprint(str(src)))
+    assert calls["n"] == 2

@@ -48,3 +48,32 @@ def test_as_of_join_latest_version(spark):
     )
     out = {r.url: r.dim_ver for r in as_of_join(facts, dims, on=["lang"]).collect()}
     assert out == {"u1": "v2", "u2": "v1", "u3": "w1"}
+
+
+def test_as_of_join_preserves_fact_multiplicity(spark):
+    # two DISTINCT facts sharing (key, ts) must each keep their row, and
+    # byte-identical duplicate facts must keep their multiplicity
+    facts = spark.createDataFrame(
+        [
+            ("u1", "en", _ts(10)),
+            ("u2", "en", _ts(10)),  # same (lang, ts) as u1, different url
+            ("u2", "en", _ts(10)),  # exact duplicate row
+        ],
+        ["url", "lang", "warc_ts"],
+    )
+    dims = spark.createDataFrame(
+        [("en", "v1", _ts(1)), ("en", "v2", _ts(9))], ["lang", "ver", "version_ts"]
+    )
+    rows = as_of_join(facts, dims, on=["lang"]).collect()
+    assert len(rows) == 3
+    assert {(r.url, r.dim_ver) for r in rows} == {("u1", "v2"), ("u2", "v2")}
+
+
+def test_as_of_join_version_tie_is_deterministic(spark):
+    # two dim versions with the SAME version_ts: tie-break by payload asc
+    facts = spark.createDataFrame([("u1", "en", _ts(10))], ["url", "lang", "warc_ts"])
+    dims = spark.createDataFrame(
+        [("en", "vB", _ts(9)), ("en", "vA", _ts(9))], ["lang", "ver", "version_ts"]
+    )
+    out = [r.dim_ver for r in as_of_join(facts, dims, on=["lang"]).collect()]
+    assert out == ["vA"]

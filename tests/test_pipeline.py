@@ -99,3 +99,21 @@ def test_elevation_scoring_mode(spark):
     # the elevation score participates in the mean (EAV long-form)
     types = {r.score_type for r in out["scores_long"].select("score_type").distinct().collect()}
     assert "elevation" in types
+
+
+def test_prune_keeps_unscored_candidates(spark):
+    # reference delete_lowscore: DELETE ... WHERE score IS NOT NULL AND
+    # score < threshold — a candidate with NO scores at all survives
+    from pyspark.sql import functions as F
+
+    from mass_georeferencing_spark.operators.scoring import prune_low_scores
+
+    cands = spark.createDataFrame(
+        [("c_low",), ("c_high",), ("c_unscored",)], ["candidate_id"]
+    )
+    scores = spark.createDataFrame(
+        [("c_low", "s", 10.0), ("c_high", "s", 95.0)],
+        ["candidate_id", "score_type", "score"],
+    )
+    kept = {r.candidate_id for r in prune_low_scores(cands, scores, min_score=80.0).collect()}
+    assert kept == {"c_high", "c_unscored"}

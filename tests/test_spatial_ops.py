@@ -183,3 +183,19 @@ def test_range_build_and_distance_scores(spark):
     assert out["c_near"].score_range == 95
     assert out["c_far"].score_range == 60
     assert out["c_de"].score_range == 100
+
+
+def test_knn_broadcast_boundary_tie_resolves_by_id(spark):
+    # three targets exactly equidistant from the query; k=2 must keep the two
+    # LOWEST ids, whichever order argpartition happened to scan them in
+    q = spark.createDataFrame([("q1", 0.0, 0.0)], ["query_id", "lat", "lon"])
+    t = spark.createDataFrame(
+        [("t_c", 1.0, 0.0), ("t_a", -1.0, 0.0), ("t_b", 0.0, 1.0)],
+        ["target_id", "target_lat", "target_lon"],
+    )
+    from mass_georeferencing_spark.operators.knn import knn_join_broadcast
+
+    got = sorted(
+        (r.knn_rank, r.target_id) for r in knn_join_broadcast(q, t, k=2).collect()
+    )
+    assert got == [(1, "t_a"), (2, "t_b")]
