@@ -110,12 +110,6 @@ def _q_a8_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_a10_sum_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A10: sum(no_features) total-features stat (app.R:1427)
-    gaz = syn.gazetteer_df(spark, sf_dir)
-    return gaz.agg(F.sum("no_features").alias("total_features"))
-
-
 def _q_u3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U3: UNION ALL without dedup (functions.py:26-43)
     gaz = syn.gazetteer_df(spark, sf_dir)
@@ -218,7 +212,8 @@ def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_group_counts": _q_a5_group_counts,
         "a7_export_manifest": _q_a7_export_manifest,
         "a8_topic_rollup": _q_a8_topic_rollup,
-        "a10_sum_catalog": _q_a10_sum_catalog,
+        # a10_sum_catalog retired (50-entry driver budget; A10 sum evidence is
+        # carried by a8_topic_rollup's CAST(sum(...)) oracle — VERDICT.md next #1)
         "u3_union_all": _q_u3_union_all,
         "j2_fuzzy_mean": _q_j2_fuzzy_mean,
     }
@@ -350,10 +345,6 @@ def oracle_ext2() -> dict[str, str]:
         "a8_topic_rollup": (
             "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang, source"
-        ),
-        "a10_sum_catalog": W(
-            "SELECT CAST(sum(no_features) AS BIGINT) AS total_features FROM gazetteer",
-            syn.GAZETTEER_CTE,
         ),
         "u3_union_all": W(
             """
