@@ -60,12 +60,47 @@ def ratio(a: str, b: str) -> float:
     return 200.0 * lcs_len(a, b) / total
 
 
+def _char_masks(a: str) -> dict[str, int]:
+    pm: dict[str, int] = {}
+    for i, ch in enumerate(a):
+        pm[ch] = pm.get(ch, 0) | (1 << i)
+    return pm
+
+
+def _boundary_best(a: str, text: str, max_t: int) -> float:
+    """Best ``ratio(a, text[:t])`` over prefix lengths t in [1, max_t] — one
+    incremental Allison-Dix scan (after t steps, v encodes LCS(a, text[:t]))."""
+    pm = _char_masks(a)
+    la = len(a)
+    mask = (1 << la) - 1
+    get = pm.get
+    v = mask
+    best = 0.0
+    for t in range(1, min(max_t, len(text)) + 1):
+        mm = get(text[t - 1], 0)
+        v = ((v + (v & mm)) | (v & ~mm)) & mask
+        lcs = la - bin(v).count("1")
+        score = 200.0 * lcs / (la + t)
+        if score > best:
+            best = score
+    return best
+
+
 def partial_ratio(a: str, b: str) -> float:
-    """Best ratio of the shorter string vs every window of the longer.
+    """Best ratio of the shorter string vs every contiguous alignment of the
+    longer — rapidfuzz ``fuzz.partial_ratio`` semantics: every full-length
+    window of the longer PLUS the clipped boundary alignments (prefixes
+    ``b[:t]`` and suffixes ``b[-t:]`` with t < len(shorter)), e.g.
+    partial_ratio('bcx', 'abc') = ratio('bcx', 'bc') = 80.
+
+    Equal-length inputs score BOTH directions and keep the max (clipped
+    alignments make a single direction asymmetric; rapidfuzz ≥2.1 does the
+    same).
 
     Reference call sites: batch_georeferencing/functions.py:272 (locality vs
-    candidate name) and :289 (stateprovince). Empty-vs-nonempty -> 0 (a query with
-    no text cannot match), both empty -> 100.
+    candidate name) and :289 (stateprovince). Empty-vs-nonempty -> 0 (a query
+    with no text cannot match; pinned deviation, SURVEY.md §7.3), both
+    empty -> 100.
     """
     if len(a) > len(b):
         a, b = b, a
@@ -74,10 +109,16 @@ def partial_ratio(a: str, b: str) -> float:
         return 100.0 if lb == 0 else 0.0
     if a in b:
         return 100.0
-    # bit-parallel LCS of `a` against each window b[i:i+la]
-    pm: dict[str, int] = {}
-    for i, ch in enumerate(a):
-        pm[ch] = pm.get(ch, 0) | (1 << i)
+    if la == lb:
+        return max(_partial_ratio_one(a, b), _partial_ratio_one(b, a))
+    return _partial_ratio_one(a, b)
+
+
+def _partial_ratio_one(a: str, b: str) -> float:
+    """One-direction partial ratio: ``a`` is the needle (len(a) ≤ len(b))."""
+    la, lb = len(a), len(b)
+    # full-length windows: bit-parallel LCS of `a` against each b[i:i+la]
+    pm = _char_masks(a)
     mask = (1 << la) - 1
     get = pm.get
     best = 0
@@ -91,7 +132,16 @@ def partial_ratio(a: str, b: str) -> float:
             best = lcs
             if best == la:
                 break
-    return 100.0 * best / la
+    score = 100.0 * best / la
+    if best < la and la > 1:
+        # clipped boundary alignments (the shorter string overhanging either
+        # end of the longer): prefixes b[:t] and suffixes b[-t:], t < la
+        score = max(
+            score,
+            _boundary_best(a, b, la - 1),
+            _boundary_best(a[::-1], b[::-1], la - 1),
+        )
+    return score
 
 
 def token_set_ratio(a: str, b: str) -> float:

@@ -146,8 +146,41 @@ def batch_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     return out
 
 
+def _boundary_scan(
+    pm: np.ndarray,
+    mask: np.ndarray,
+    ls: np.ndarray,
+    ll: np.ndarray,
+    txt_codes: np.ndarray,
+    rows: np.ndarray,
+) -> np.ndarray:
+    """Best clipped-window score per pair: max over t in [1, ls-1] of
+    ``200·LCS(short, text[:t]) / (ls + t)`` — ONE incremental Allison-Dix scan
+    (after t steps v encodes LCS vs the t-prefix). Called twice: forward codes
+    give the prefix overhangs, reversed codes the suffix overhangs."""
+    m = pm.shape[0]
+    best = np.zeros(m, dtype=np.float64)
+    if m == 0:
+        return best
+    v = mask.copy()
+    max_t = int((ls - 1).max(initial=0))
+    for t in range(1, max_t + 1):
+        act = (ls > t) & (ll >= t)
+        if not act.any():
+            break
+        mm = pm[rows, txt_codes[:, t - 1]]
+        vn = ((v + (v & mm)) | (v & ~mm)) & mask
+        v = np.where(act, vn, v)
+        lcs = ls - _popcount64(v & mask)
+        score = 200.0 * lcs / (ls + t)
+        best = np.where(act & (score > best), score, best)
+    return best
+
+
 def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
-    """Vectorized fuzzy.partial_ratio (best window ratio of shorter vs longer)."""
+    """Vectorized fuzzy.partial_ratio — rapidfuzz semantics: full-length
+    windows of the longer string plus the clipped boundary alignments
+    (prefixes/suffixes shorter than the needle)."""
     n = len(a_list)
     out = np.zeros(n, dtype=np.float64)
     shorts: list[str] = []
@@ -169,6 +202,12 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
         shorts.append(a)
         longs.append(b)
         vec_idx.append(i)
+        if len(a) == len(b):
+            # equal lengths: clipped alignments are direction-dependent —
+            # score both ways and keep the max (rapidfuzz ≥2.1 symmetry)
+            shorts.append(b)
+            longs.append(a)
+            vec_idx.append(i)
     if not vec_idx:
         return out
 
@@ -202,7 +241,19 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
         best = np.where(win_active & (lcs > best), lcs, best)
         if (best >= ls).all():
             break
-    out[np.asarray(vec_idx)] = 100.0 * best / ls
+    score = 100.0 * best / ls
+    need_boundary = (best < ls) & (ls > 1)
+    if need_boundary.any():
+        # prefix overhangs: one incremental scan over the longs' first ls-1
+        # chars; suffix overhangs: same scan over REVERSED pattern and text
+        pre = _boundary_scan(pm, mask, ls, ll, l_codes, rows)
+        s_codes_r = _encode_with_vocab([s[::-1] for s in shorts], max_ls, vocab)
+        l_codes_r = _encode_with_vocab([s[::-1] for s in longs], max_ll + max_ls, vocab)
+        pm_r = _pattern_masks(s_codes_r, ls, len(vocab))
+        suf = _boundary_scan(pm_r, mask, ls, ll, l_codes_r, rows)
+        score = np.where(need_boundary, np.maximum(score, np.maximum(pre, suf)), score)
+    # maximum.at: equal-length pairs contribute two directed entries per index
+    np.maximum.at(out, np.asarray(vec_idx), score)
     return out
 
 

@@ -75,8 +75,10 @@ def score_pair(
     When ``threshold`` is set, pairs provably below it short-circuit to (0, 0) —
     sound ONLY under a downstream ``score1 + score2 > threshold`` filter (the
     returned zeros land below any nonnegative threshold, so the row is dropped
-    either way). Bounds: lcs ≤ multiset char intersection ⇒ partial_ratio ≤
-    100·msect/len(shorter); with zero shared characters every token_set
+    either way). Bounds: for any alignment window w (full OR boundary-clipped),
+    LCS(s, w) ≤ min(msect, |w|) where msect is the multiset char intersection
+    of the two full strings, so 200·LCS/(|s|+|w|) ≤ 200·msect/(|s|+msect)
+    (maximized at |w| = msect); with zero shared characters every token_set
     reconstruction ratio is 0 too (empty/empty edge cases handled first).
     """
     if threshold is not None and q_full and name:
@@ -90,7 +92,8 @@ def score_pair(
             if q_nostop and _msect(_char_counts(q_nostop), cb) == 0:
                 return 0.0, 0.0
         else:
-            bound1 = 100.0 * ms / max(min(len(q_full), len(name)), 1)
+            ls = max(min(len(q_full), len(name)), 1)
+            bound1 = 200.0 * ms / (ls + ms)
             if bound1 + 100.0 <= threshold:
                 # even a perfect score2 cannot lift the sum over the threshold
                 return 0.0, 0.0
