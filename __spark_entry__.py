@@ -24,10 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mass_georeferencing_spark.functions.cells import cell_oracle_sql, latlng_to_cell_col
 from mass_georeferencing_spark.functions.geo import haversine_col
 from mass_georeferencing_spark.functions.textnorm import garbage_locality_filter, located_at
-from mass_georeferencing_spark.operators.layers import (
-    county_alias_names,
-    explode_alternate_names,
-)
+from mass_georeferencing_spark.operators.layers import explode_alternate_names
 from mass_georeferencing_spark.operators.record_groups import build_record_groups, group_id
 from mass_georeferencing_spark.operators.scoring import (
     distance_band_score,
@@ -137,9 +134,15 @@ def _q_f4_located_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_f5_county_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    admin = syn.gazetteer_df(spark, sf_dir).where(F.col("data_source") == "admin")
-    return county_alias_names(admin).select("uid", "name", "stateprovince")
+def _q_gadm_alias_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/F5 in full: the 13-branch GADM alias expansion
+    (batch_georeferencing/queries.py:103-131) — per-level hierarchy concats,
+    varname variants, US County/type/abbreviation forms, UNION-dedup."""
+    from mass_georeferencing_spark.operators.layers import gadm_alias_names
+
+    return gadm_alias_names(
+        syn.gadm_df(spark, sf_dir), syn.state_abbreviations_df(spark)
+    ).select("uid", "name", "stateprovince", "data_source")
 
 
 def _q_f6_explode_altnames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_union_dedup": _q_a4_union_dedup,
         "a9_collect_set": _q_a9_collect_set,
         "f4_located_at": _q_f4_located_at,
-        "f5_county_aliases": _q_f5_county_aliases,
+        "gadm_alias_names": _q_gadm_alias_names,
         "f6_explode_altnames": _q_f6_explode_altnames,
         "p2_garbage_filter": _q_p2_garbage_filter,
         "p4_state_contains": _q_p4_state_contains,
@@ -404,17 +407,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
         """,
-        "f5_county_aliases": W(
+        "gadm_alias_names": W(
             """
-            SELECT uid, name, stateprovince FROM gazetteer WHERE data_source = 'admin'
-            UNION ALL
-            SELECT uid, name || ' Co., ' || stateprovince, stateprovince
-            FROM gazetteer WHERE data_source = 'admin'
-            UNION ALL
-            SELECT uid, name || ', ' || stateprovince, stateprovince
-            FROM gazetteer WHERE data_source = 'admin'
+            SELECT uid, name, stateprovince, 'gadm' AS data_source FROM (
+              SELECT uid, name_1 AS name, name_1 AS stateprovince
+              FROM gadm WHERE level = 1
+              UNION
+              SELECT uid, varname, name_1
+              FROM gadm WHERE level = 1 AND varname IS NOT NULL
+              UNION
+              SELECT uid, name_2, name_1 || ', ' || name_0 FROM gadm WHERE level = 2
+              UNION
+              SELECT uid, varname, name_1 || ', ' || name_0
+              FROM gadm WHERE level = 2 AND varname IS NOT NULL
+              UNION
+              SELECT uid, name_3, name_2 || ', ' || name_1 || ', ' || name_0
+              FROM gadm WHERE level = 3
+              UNION
+              SELECT uid, varname, name_2 || ', ' || name_1 || ', ' || name_0
+              FROM gadm WHERE level = 3 AND varname IS NOT NULL
+              UNION
+              SELECT uid, name_4, name_3 || ', ' || name_2 || ', ' || name_1 || ', ' || name_0
+              FROM gadm WHERE level = 4
+              UNION
+              SELECT uid, varname, name_3 || ', ' || name_2 || ', ' || name_1 || ', ' || name_0
+              FROM gadm WHERE level = 4 AND varname IS NOT NULL
+              UNION
+              SELECT uid, name_5,
+                     name_4 || ', ' || name_3 || ', ' || name_2 || ', ' || name_1 || ', ' || name_0
+              FROM gadm WHERE level = 5
+              UNION
+              SELECT uid, name_2 || ' Co., ' || name_1, name_1 || ', ' || name_0
+              FROM gadm
+              WHERE level = 2 AND name_0 = 'United States' AND type_2 = 'County'
+              UNION
+              SELECT uid, name_2 || ' ' || type_2 || ', ' || name_1, name_1 || ', ' || name_0
+              FROM gadm WHERE level = 2 AND name_0 = 'United States'
+              UNION
+              SELECT g.uid, g.name_2 || ', ' || s.abbreviation, g.name_1 || ', ' || g.name_0
+              FROM gadm g JOIN us_state_abbreviations s ON g.name_1 = s.state
+              WHERE g.level = 2 AND g.name_0 = 'United States'
+              UNION
+              SELECT g.uid, g.name_2 || ' Co., ' || s.abbreviation, g.name_1 || ', ' || g.name_0
+              FROM gadm g JOIN us_state_abbreviations s ON g.name_1 = s.state
+              WHERE g.level = 2 AND g.name_0 = 'United States'
+            ) WHERE name IS NOT NULL
             """,
-            syn.GAZETTEER_CTE,
+            syn.GADM_CTE,
+            syn.STATE_ABBREV_CTE,
         ),
         "f6_explode_altnames": W(
             """

@@ -56,6 +56,101 @@ def county_alias_names(
     return layer.unionByName(alias1).unionByName(alias2)
 
 
+def gadm_alias_names(
+    gadm: DataFrame,
+    state_abbrevs: DataFrame,
+    data_source: str = "gadm",
+) -> DataFrame:
+    """U1 in full: the reference's 13-branch GADM alias expansion
+    (batch_georeferencing/queries.py:103-131) over the wide hierarchy shape
+    (level, name_0..name_5, varname, type_2):
+
+    - per level N in 1..5: (name_N, stateprovince = name_{N-1}, …, name_0;
+      level 1 uses name_1 itself) — and, for N ≤ 4, the same row again with
+      varname_N when present;
+    - US level-2 extras: '<name_2> Co., <name_1>' (type County only),
+      '<name_2> <type_2>, <name_1>', and both abbreviation forms
+      '<name_2>, <ST>' / '<name_2> Co., <ST>' via the state-abbreviation
+      broadcast join.
+
+    The reference UNIONs (distinct); mirrored with a final dropDuplicates on
+    the candidate key. All branches are narrow projections + one broadcast
+    join — zero shuffles before the dedup, which a caller can drop when the
+    downstream fuzzy join dedups names anyway (see county_alias_names note).
+    """
+
+    def sp(level: int):
+        if level == 1:
+            return F.col("name_1")
+        return F.concat(
+            *[
+                c
+                for k in range(level - 1, -1, -1)
+                for c in ([F.col(f"name_{k}")] if k == level - 1 else [F.lit(", "), F.col(f"name_{k}")])
+            ]
+        )
+
+    out: list[DataFrame] = []
+    for level in range(1, 6):
+        rows = gadm.where(F.col("level") == level)
+        out.append(
+            rows.select(
+                "uid",
+                F.col(f"name_{level}").alias("name"),
+                sp(level).alias("stateprovince"),
+            )
+        )
+        if level <= 4:
+            out.append(
+                rows.where(F.col("varname").isNotNull()).select(
+                    "uid", F.col("varname").alias("name"), sp(level).alias("stateprovince")
+                )
+            )
+
+    us2 = gadm.where((F.col("level") == 2) & (F.col("name_0") == "United States"))
+    sp2 = sp(2)
+    out.append(
+        us2.where(F.col("type_2") == "County").select(
+            "uid",
+            F.concat(F.col("name_2"), F.lit(" Co., "), F.col("name_1")).alias("name"),
+            sp2.alias("stateprovince"),
+        )
+    )
+    out.append(
+        us2.select(
+            "uid",
+            F.concat(F.col("name_2"), F.lit(" "), F.col("type_2"), F.lit(", "), F.col("name_1")).alias("name"),
+            sp2.alias("stateprovince"),
+        )
+    )
+    ab = us2.join(
+        F.broadcast(state_abbrevs), us2["name_1"] == state_abbrevs["state"]
+    )
+    out.append(
+        ab.select(
+            "uid",
+            F.concat(F.col("name_2"), F.lit(", "), F.col("abbreviation")).alias("name"),
+            sp2.alias("stateprovince"),
+        )
+    )
+    out.append(
+        ab.select(
+            "uid",
+            F.concat(F.col("name_2"), F.lit(" Co., "), F.col("abbreviation")).alias("name"),
+            sp2.alias("stateprovince"),
+        )
+    )
+
+    unioned = out[0]
+    for more in out[1:]:
+        unioned = unioned.unionByName(more)
+    return (
+        unioned.where(F.col("name").isNotNull())
+        .withColumn("data_source", F.lit(data_source))
+        .dropDuplicates(["uid", "name", "stateprovince", "data_source"])
+    )
+
+
 def normalize_candidates(
     layer: DataFrame,
     dedup: bool = True,

@@ -205,6 +205,78 @@ gazetteer AS (
 
 
 # ---------------------------------------------------------------------------
+# gadm — administrative hierarchy (levels 1-5) in the wide shape the reference's
+# gadm1..gadm5 tables share: a row at level N carries name_1..name_N (+ name_0
+# country), its own-variant name, and the level-2 type. Derived from supplier.
+# ---------------------------------------------------------------------------
+
+
+def gadm_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → gadm(uid, level, name_0..name_5, varname, type_2).
+
+    The U1 alias-expansion input (batch_georeferencing/queries.py:103-131):
+    level = row's GADM depth; name_k is NULL above the row's level; varname is
+    the optional variant name (NULL on every 3rd row, mirroring nullable
+    varname_N); type_2 alternates County/Municipality for the US branches."""
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    lvl = (k % 5 + 1).cast("int")
+
+    def nm(prefix: str, mult: int, mod: int, min_lvl: int):
+        return F.when(
+            lvl >= min_lvl,
+            F.concat(F.lit(prefix + " "), ((k * mult) % mod).cast("string")),
+        )
+
+    return sup.select(
+        F.concat(F.lit("gadm:"), k.cast("string")).alias("uid"),
+        lvl.alias("level"),
+        F.when(k % 3 == 0, "United States")
+        .when(k % 3 == 1, "Mexico")
+        .otherwise("Canada")
+        .alias("name_0"),
+        nm("state", 7, 10, 1).alias("name_1"),
+        nm("county", 11, 20, 2).alias("name_2"),
+        nm("dist", 13, 25, 3).alias("name_3"),
+        nm("ward", 17, 30, 4).alias("name_4"),
+        nm("block", 19, 35, 5).alias("name_5"),
+        F.when(k % 3 != 0, F.concat(F.lit("alt "), k.cast("string"))).alias("varname"),
+        F.when(k % 2 == 0, "County").otherwise("Municipality").alias("type_2"),
+    )
+
+
+GADM_CTE = """
+gadm AS (
+  SELECT 'gadm:' || s_suppkey AS uid,
+         CAST(s_suppkey % 5 + 1 AS INTEGER) AS level,
+         CASE s_suppkey % 3 WHEN 0 THEN 'United States'
+              WHEN 1 THEN 'Mexico' ELSE 'Canada' END AS name_0,
+         CASE WHEN s_suppkey % 5 + 1 >= 1 THEN 'state ' || (s_suppkey * 7) % 10 END AS name_1,
+         CASE WHEN s_suppkey % 5 + 1 >= 2 THEN 'county ' || (s_suppkey * 11) % 20 END AS name_2,
+         CASE WHEN s_suppkey % 5 + 1 >= 3 THEN 'dist ' || (s_suppkey * 13) % 25 END AS name_3,
+         CASE WHEN s_suppkey % 5 + 1 >= 4 THEN 'ward ' || (s_suppkey * 17) % 30 END AS name_4,
+         CASE WHEN s_suppkey % 5 + 1 >= 5 THEN 'block ' || (s_suppkey * 19) % 35 END AS name_5,
+         CASE WHEN s_suppkey % 3 <> 0 THEN 'alt ' || s_suppkey END AS varname,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'County' ELSE 'Municipality' END AS type_2
+  FROM supplier
+)"""
+
+
+def state_abbreviations_df(spark: SparkSession) -> DataFrame:
+    """us_state_abbreviations analog: 'state N' → 'STN' (deterministic range)."""
+    return spark.range(10).select(
+        F.concat(F.lit("state "), F.col("id").cast("string")).alias("state"),
+        F.concat(F.lit("ST"), F.col("id").cast("string")).alias("abbreviation"),
+    )
+
+
+STATE_ABBREV_CTE = """
+us_state_abbreviations AS (
+  SELECT 'state ' || r AS state, 'ST' || r AS abbreviation FROM range(10) t(r)
+)"""
+
+
+# ---------------------------------------------------------------------------
 # aoi — rectangular project polygons (bbox-checkable by the oracle)
 # ---------------------------------------------------------------------------
 
