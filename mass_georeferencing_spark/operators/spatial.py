@@ -372,3 +372,103 @@ def distance_band_join(
     return joined.withColumn("distance_m", dist).withColumn(
         score_col, distance_band_score(F.col("distance_m"))
     )
+
+
+def sign_flip_variants(
+    points: DataFrame,
+    id_col: str = "url",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """J12 leg 1 input: the four sign-flip coordinate variants per point
+    (ui/mass_georef_shiny/functions.R:40-88 tries lat/lng sign combinations)."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    return points.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.struct(F.lit("as_is").alias("variant"), lat.alias(lat_col), lon.alias(lon_col)),
+                F.struct(F.lit("neg_lat").alias("variant"), (-lat).alias(lat_col), lon.alias(lon_col)),
+                F.struct(F.lit("neg_lon").alias("variant"), lat.alias(lat_col), (-lon).alias(lon_col)),
+                F.struct(F.lit("neg_both").alias("variant"), (-lat).alias(lat_col), (-lon).alias(lon_col)),
+            )
+        ).alias("_v"),
+    ).select(
+        id_col,
+        F.col("_v.variant").alias("variant"),
+        F.col(f"_v.{lat_col}").alias(lat_col),
+        F.col(f"_v.{lon_col}").alias(lon_col),
+    )
+
+
+def signflip_knn_fallback(
+    points: DataFrame,
+    polygons: DataFrame,
+    claimed_col: str = "claimed_polygon",
+    id_col: str = "url",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    wkb_col: str = "geom_wkb",
+    poly_id_col: str = "polygon_id",
+    k: int = 5,
+    res: int = 4,
+) -> DataFrame:
+    """J12 leg 2 — the nearest-polygon fallback that completes the sign-flip QC
+    (ui/mass_georef_shiny/functions.R:90-105): when NO sign-flip variant of a
+    point lands in ANY polygon, probe the k nearest polygon centroids; if one
+    of them IS the point's claimed polygon, report it with the distance note
+    ('Spatial error, distance from X: N.NNkm') exactly as the reference's
+    country_nearest leg does for coastal/island points.
+
+    Plan: variants → PIP (broadcast cover) → anti-join to the unmatched set →
+    broadcast kNN against the polygon centroids (polygon sets are dimension-
+    sized; route to knn_join for web-scale layers) → claimed-match filter →
+    nearest survivor per point.
+    """
+    from pyspark.sql import Window
+
+    from .knn import knn_join_broadcast
+
+    landed = (
+        pip_join(
+            sign_flip_variants(points, id_col, lat_col, lon_col),
+            polygons,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            wkb_col=wkb_col,
+            id_col=poly_id_col,
+            res=res,
+            strategy="broadcast",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    unmatched = points.join(landed, on=id_col, how="left_anti")
+    cents = centroid_and_radius(polygons, wkb_col=wkb_col, id_col=poly_id_col).select(
+        F.col(poly_id_col).alias("target_id"),
+        F.col("centroid_lat").alias("target_lat"),
+        F.col("centroid_lon").alias("target_lon"),
+    )
+    nn = knn_join_broadcast(
+        unmatched.withColumnRenamed(id_col, "query_id"),
+        cents,
+        k=k,
+        lat_col=lat_col,
+        lon_col=lon_col,
+    )
+    hits = nn.where(F.col("target_id") == F.col(claimed_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("knn_rank").asc())
+    best = hits.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    dist_km = F.round(F.col("distance_m") / 1000.0, 2)
+    return best.select(
+        F.col("query_id").alias(id_col),
+        F.col("target_id").alias(poly_id_col),
+        dist_km.alias("distance_km"),
+        F.concat(
+            F.lit("Spatial error, distance from "),
+            F.col("target_id"),
+            F.lit(": "),
+            F.format_string("%.2f", dist_km),
+            F.lit("km"),
+        ).alias("note"),
+    )

@@ -113,7 +113,7 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j12_signflip_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.spatial import pip_join
+    from ..operators.spatial import pip_join, sign_flip_variants
 
     m = (
         syn.mentions_df(spark, sf_dir)
@@ -121,21 +121,30 @@ def _q_j12_signflip_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["url"])
         .select("url", "lat", "lon")
     )
-    variants = m.select(
-        "url",
-        F.explode(
-            F.array(
-                F.struct(F.lit("as_is").alias("variant"), F.col("lat").alias("lat"), F.col("lon").alias("lon")),
-                F.struct(F.lit("neg_lat").alias("variant"), (-F.col("lat")).alias("lat"), F.col("lon").alias("lon")),
-                F.struct(F.lit("neg_lon").alias("variant"), F.col("lat").alias("lat"), (-F.col("lon")).alias("lon")),
-                F.struct(F.lit("neg_both").alias("variant"), (-F.col("lat")).alias("lat"), (-F.col("lon")).alias("lon")),
-            )
-        ).alias("v"),
-    ).select("url", F.col("v.variant").alias("variant"), F.col("v.lat").alias("lat"), F.col("v.lon").alias("lon"))
     aoi = syn.aoi_wkb_df(spark, sf_dir)
-    return pip_join(variants, aoi, strategy="broadcast", res=4).select(
+    return pip_join(sign_flip_variants(m), aoi, strategy="broadcast", res=4).select(
         "url", "variant", "polygon_id"
     )
+
+
+def _q_j12_knn_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 leg 2 (functions.R:90-105): points whose sign-flip variants land in
+    NO polygon probe the k nearest polygon centroids for their claimed polygon;
+    a hit reports the distance note. k=3 of 5 polygons so the claimed-match
+    filter is load-bearing."""
+    from ..operators.spatial import signflip_knn_fallback
+
+    m = (
+        syn.mentions_df(spark, sf_dir)
+        .where(F.col("lat").isNotNull())
+        .dropDuplicates(["url"])
+        .select("url", "lat", "lon", "doc_id")
+    )
+    pts = m.withColumn(
+        "claimed_polygon", F.concat(F.lit("aoi:"), (F.col("doc_id") % 5).cast("string"))
+    ).drop("doc_id")
+    aoi = syn.aoi_wkb_df(spark, sf_dir)
+    return signflip_knn_fallback(pts, aoi, k=3)
 
 
 def _q_j10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,12 +217,21 @@ def queries_ext() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "zonal_stats": _q_zonal_stats,
         "j12_signflip_pip": _q_j12_signflip_pip,
+        "j12_knn_fallback": _q_j12_knn_fallback,
         "j10_semi_join": _q_j10_semi_join,
         "j11_export_join": _q_j11_export_join,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_sample": _q_frame_sample,
     }
 
+
+# DuckDB-dialect haversine twin of functions/geo.py:haversine_col
+_HAV = (
+    "2.0 * 6371008.8 * asin(sqrt(least(1.0, "
+    "pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))))"
+)
 
 _COS = (
     "round(list_dot_product({a}, {b}) / "
@@ -329,6 +347,43 @@ def oracle_ext() -> dict[str, str]:
             syn.AOI_CTE,
             """m AS (SELECT url, any_value(lat) AS lat, any_value(lon) AS lon
                FROM mentions WHERE lat IS NOT NULL GROUP BY url)""",
+        ),
+        "j12_knn_fallback": W(
+            f"""
+            SELECT url, polygon_id, round(distance_m/1000.0, 2) AS distance_km,
+                   'Spatial error, distance from ' || polygon_id || ': ' ||
+                     printf('%.2f', round(distance_m/1000.0, 2)) || 'km' AS note
+            FROM (
+              SELECT nn.*, ROW_NUMBER() OVER (PARTITION BY url ORDER BY rnk) AS rn2
+              FROM nn WHERE rnk <= 3 AND polygon_id = claimed)
+            WHERE rn2 = 1
+            """,
+            syn.PAGES_CTE,
+            syn.MENTIONS_CTE,
+            syn.AOI_CTE,
+            """m AS (SELECT url, any_value(doc_id) AS doc_id, any_value(lat) AS lat,
+                            any_value(lon) AS lon
+                     FROM mentions WHERE lat IS NOT NULL GROUP BY url),
+            pts AS (SELECT url, lat, lon, 'aoi:' || (doc_id % 5) AS claimed FROM m),
+            landed AS (
+              SELECT DISTINCT v.url FROM (
+                SELECT url, lat, lon FROM pts
+                UNION ALL SELECT url, -lat, lon FROM pts
+                UNION ALL SELECT url, lat, -lon FROM pts
+                UNION ALL SELECT url, -lat, -lon FROM pts) v
+              JOIN aoi a ON v.lon > a.min_lon AND v.lon < a.max_lon
+                        AND v.lat > a.min_lat AND v.lat < a.max_lat),
+            unm AS (SELECT * FROM pts WHERE url NOT IN (SELECT url FROM landed)),
+            cents AS (SELECT polygon_id, (min_lat + max_lat) / 2.0 AS clat,
+                             (min_lon + max_lon) / 2.0 AS clon FROM aoi),
+            nn AS (SELECT u.url, u.claimed, c.polygon_id,
+                          """
+            + _HAV.format(lat1="u.lat", lon1="u.lon", lat2="c.clat", lon2="c.clon")
+            + """ AS distance_m,
+                          ROW_NUMBER() OVER (PARTITION BY u.url ORDER BY """
+            + _HAV.format(lat1="u.lat", lon1="u.lon", lat2="c.clat", lon2="c.clon")
+            + """ ASC, c.polygon_id ASC) AS rnk
+                   FROM unm u CROSS JOIN cents c)""",
         ),
         "j10_semi_join": W(
             """

@@ -110,16 +110,6 @@ def _q_a8_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_u3_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # U3: UNION ALL without dedup (functions.py:26-43)
-    gaz = syn.gazetteer_df(spark, sf_dir)
-    a = gaz.where(F.col("data_source") == "admin").select("uid", "name")
-    b = gaz.where(F.col("data_source") == "webnames").where(F.col("no_features") >= 2).select(
-        "uid", "name"
-    )
-    return a.unionAll(b)
-
-
 def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: J2 older-engine variant (match_SI_GBIF.py:43-71)
     from ..operators.fuzzy_join import fuzzy_mean_join
@@ -212,9 +202,10 @@ def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_group_counts": _q_a5_group_counts,
         "a7_export_manifest": _q_a7_export_manifest,
         "a8_topic_rollup": _q_a8_topic_rollup,
-        # a10_sum_catalog retired (50-entry driver budget; A10 sum evidence is
-        # carried by a8_topic_rollup's CAST(sum(...)) oracle — VERDICT.md next #1)
-        "u3_union_all": _q_u3_union_all,
+        # a10_sum_catalog and u3_union_all retired (50-entry driver budget;
+        # A10 sum evidence is carried by a8_topic_rollup's CAST(sum(...)),
+        # U3 UNION ALL by f6_explode_altnames/gadm_alias_names, both oracled —
+        # VERDICT.md next #1)
         "j2_fuzzy_mean": _q_j2_fuzzy_mean,
     }
 
@@ -345,13 +336,5 @@ def oracle_ext2() -> dict[str, str]:
         "a8_topic_rollup": (
             "SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY lang, source"
-        ),
-        "u3_union_all": W(
-            """
-            SELECT uid, name FROM gazetteer WHERE data_source = 'admin'
-            UNION ALL
-            SELECT uid, name FROM gazetteer WHERE data_source = 'webnames' AND no_features >= 2
-            """,
-            syn.GAZETTEER_CTE,
         ),
     }

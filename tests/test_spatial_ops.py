@@ -199,3 +199,40 @@ def test_knn_broadcast_boundary_tie_resolves_by_id(spark):
         (r.knn_rank, r.target_id) for r in knn_join_broadcast(q, t, k=2).collect()
     )
     assert got == [(1, "t_a"), (2, "t_b")]
+
+
+def test_signflip_knn_fallback_semantics(spark):
+    # polygons: two unit squares around (0,0) and (50,50), plus a far one
+    import numpy as np
+
+    from mass_georeferencing_spark.functions.geo import wkb_polygon
+    from mass_georeferencing_spark.operators.spatial import signflip_knn_fallback
+
+    def rect(pid, lon0, lat0, lon1, lat1):
+        ring = np.array(
+            [[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]],
+            dtype=np.float64,
+        )
+        return (pid, wkb_polygon([ring]))
+
+    aoi = spark.createDataFrame(
+        [rect("p_origin", -1, -1, 1, 1), rect("p_mid", 49, 49, 51, 51), rect("p_far", -179, -60, -170, -55)],
+        ["polygon_id", "geom_wkb"],
+    )
+    pts = spark.createDataFrame(
+        [
+            # lands in p_origin after neg_lat flip -> NOT a fallback candidate
+            ("u_landed", -0.5, 0.5, "p_origin"),
+            # near p_mid, claims p_mid (nearest) -> fallback hit with distance
+            ("u_near_mid", 47.0, 47.0, "p_mid"),
+            # near p_mid but CLAIMS p_far, which is not among k=2 nearest -> dropped
+            ("u_wrong_claim", 47.0, 47.0, "p_far"),
+        ],
+        ["url", "lat", "lon", "claimed_polygon"],
+    )
+    out = {r.url: r for r in signflip_knn_fallback(pts, aoi, k=2).collect()}
+    assert set(out) == {"u_near_mid"}
+    r = out["u_near_mid"]
+    assert r.polygon_id == "p_mid"
+    assert 0 < r.distance_km < 600
+    assert r.note == f"Spatial error, distance from p_mid: {r.distance_km:.2f}km"
