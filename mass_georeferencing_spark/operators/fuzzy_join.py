@@ -178,7 +178,7 @@ def fuzzy_candidate_join(
     state_cand_col: str = "stateprovince_folded",
     threshold: float = FUZZY_SUM_THRESHOLD,
     with_state: bool = True,
-    dedup_pairs: bool = True,
+    dedup_pairs: bool | str = True,
     broadcast_candidates: bool = False,
     broadcast_scored_pairs: bool = False,
     salt: int | None = None,
@@ -190,6 +190,14 @@ def fuzzy_candidate_join(
     Returns groups ⋈ candidates columns + score1, score2 [, score_state].
     ``with_state=False`` mirrors the reference's no-state branch
     (batch_georeferencing.py:193, functions.py:268 state flag).
+
+    ``dedup_pairs``: True/'broadcast' = distinct-pair scoring with the name
+    side broadcast (the default; right when the per-block name vocabulary is
+    dimension-sized); 'shuffle' = the same distinct-pair dedup via a shuffled
+    equi-join on the block key — no size cap on either side, AQE splits skewed
+    blocks, pass ``salt`` when block cardinality is tiny; False = no pair
+    dedup at all (the raw blocked product — only for benchmarking the dedup
+    win). All three produce identical results (tests/test_fuzzy_join_paths.py).
     """
     block_keys = block_keys or ["lang"]
     cand = candidates
@@ -230,7 +238,14 @@ def fuzzy_candidate_join(
         q_d = groups.select(*block_keys, query_col, query_nostop_col).distinct()
         n_d = cand.select(*block_keys, name_col).distinct()
         parallelism = groups.sparkSession.sparkContext.defaultParallelism
-        pairs = q_d.repartition(2 * parallelism).join(F.broadcast(n_d), on=block_keys)
+        if dedup_pairs == "shuffle":
+            # both distinct sides shuffled on the block key: no broadcast-range
+            # cap on the name vocabulary. The scoring UDF inherits the join's
+            # block-hash distribution — AQE's skew-join split handles hot
+            # blocks, and `salt` spreads a tiny block-key space.
+            pairs = q_d.join(n_d, on=block_keys)
+        else:
+            pairs = q_d.repartition(2 * parallelism).join(F.broadcast(n_d), on=block_keys)
         scored_pairs = (
             pairs.withColumn(
                 "_s", scores_udf(F.col(query_col), F.col(query_nostop_col), F.col(name_col))

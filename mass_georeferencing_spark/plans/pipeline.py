@@ -47,6 +47,7 @@ def georeference(
     spatial: bool = True,
     range_scoring: bool = False,
     elevation_scoring: bool = False,
+    elevation_strategy: str = "broadcast",
     broadcast_candidates: bool = True,
     cell_res: int = C.DEFAULT_POINT_RES,
 ) -> dict[str, DataFrame]:
@@ -101,10 +102,12 @@ def georeference(
     if elevation_scoring:
         # the reference's elevation disambiguation (J6, functions.py:145-230,
         # call site commented at batch_georeferencing.py:500-513): candidate →
-        # nearest elevation sample (broadcast kNN; grid is small) → banded
-        # |claimed − sampled| score. Claimed elevation = the group's inline
-        # elevation analog carried on the mention coords.
-        from ..operators.knn import knn_join_broadcast
+        # nearest elevation sample → banded |claimed − sampled| score.
+        # ``elevation_strategy``: 'broadcast' collects + broadcasts the grid
+        # (right when the elevation side is a regional raster sample);
+        # 'rings' routes to the cell-ring-expansion kNN for web-scale grids —
+        # both are exact and produce identical results (tests/test_pipeline.py).
+        from ..operators.knn import knn_join, knn_join_broadcast
         from ..operators.scoring import elevation_band_score
 
         elev = synthetic.elevation_grid_df(spark, sf_dir).select(
@@ -118,12 +121,15 @@ def georeference(
             .where(F.col("q_lat").isNotNull())
             .dropDuplicates(["candidate_id"])
         )
-        nearest = knn_join_broadcast(
+        knn_impl = knn_join_broadcast if elevation_strategy == "broadcast" else knn_join
+        knn_kwargs = {} if elevation_strategy == "broadcast" else {"res": 3}
+        nearest = knn_impl(
             cand_pts.withColumnRenamed("candidate_id", "query_id"),
             elev.drop("elev_m"),
             k=1,
             lat_col="q_lat",
             lon_col="q_lon",
+            **knn_kwargs,
         ).select(F.col("query_id").alias("candidate_id"), "target_id")
         nearest = nearest.join(elev.select("target_id", "elev_m"), on="target_id")
         top = top.join(

@@ -45,3 +45,15 @@ def test_empty_sides(spark):
     no_cands = cands.where(F.lit(False))
     assert fuzzy_candidate_join(no_groups, cands).count() == 0
     assert fuzzy_candidate_join(groups, no_cands).count() == 0
+
+
+def test_shuffle_dedup_path_equal(spark):
+    # 'shuffle' dedup-pairs (no broadcast of the name side) is a pure physical
+    # rewrite of the broadcast dedup path
+    groups = build_record_groups(syn.mentions_df(spark, SF_DIR))
+    cands = normalize_candidates(syn.gazetteer_df(spark, SF_DIR))
+    bc = sorted(map(_key, fuzzy_candidate_join(groups, cands, dedup_pairs=True).collect()))
+    sh = sorted(
+        map(_key, fuzzy_candidate_join(groups, cands, dedup_pairs="shuffle").collect())
+    )
+    assert bc == sh
