@@ -221,7 +221,9 @@ def _q_j5_distance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j6_knn_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mass_georeferencing_spark.operators.knn import knn_join
+    # polar-safe: ring expansion below |lat| 80 + brute polar-cap pass above
+    # (mention lats reach ±84.5 — the cap path runs under this driver gate)
+    from mass_georeferencing_spark.operators.knn import knn_join_polar_safe as knn_join
 
     m = (
         syn.mentions_df(spark, sf_dir)

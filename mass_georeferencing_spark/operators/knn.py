@@ -22,6 +22,7 @@ the right side is pre-aggregated per cell, AQE splits skewed probe cells.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -233,3 +234,83 @@ def _ring_guarantee_udf(res: int, k: int):
         return lat.map(lambda v: C.ring_guarantee_m(float(v), res, k))
 
     return guar
+
+
+M_PER_DEG = math.pi * 6371008.8 / 180.0  # meridian meters per degree
+
+
+def knn_join_polar_safe(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 1,
+    res: int = 3,
+    id_col: str = "query_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    target_id_col: str = "target_id",
+    target_lat: str = "target_lat",
+    target_lon: str = "target_lon",
+    polar_lat: float = 80.0,
+    slice_margin_deg: float = 5.0,
+    **knn_kwargs,
+) -> DataFrame:
+    """Exact kNN = ring expansion below ``polar_lat`` + a polar-cap brute pass
+    above it.
+
+    Equirectangular cells shrink east-west toward the poles, so
+    :func:`ring_guarantee_m`'s width bound collapses there and ring expansion
+    needs many rounds to settle (NOTES.md round-1 item; the bound stays CORRECT,
+    just loose). Queries at |lat| > polar_lat instead brute-match against the
+    broadcast polar slice of targets (|lat| ≥ polar_lat − slice_margin_deg,
+    per hemisphere — a tiny fraction of any real gazetteer). A result is
+    provably exact when the k-th distance ≤ the meridional distance from the
+    query to the slice boundary (every target outside the slice is at least
+    that far); the rare unproven queries (sparse caps) fall back to ring
+    expansion, so the whole operator stays exact for every input.
+    """
+    apolar = F.abs(F.col(lat_col))
+    polar_q = queries.where(apolar > F.lit(polar_lat))
+    rest_q = queries.where(apolar <= F.lit(polar_lat))
+    out = knn_join(
+        rest_q, targets, k=k, res=res, id_col=id_col, lat_col=lat_col,
+        lon_col=lon_col, target_id_col=target_id_col, target_lat=target_lat,
+        target_lon=target_lon, **knn_kwargs,
+    )
+    slice_lat = polar_lat - slice_margin_deg
+    parts = []
+    for sign in (1, -1):
+        hemi_q = polar_q.where(F.col(lat_col) * sign > 0)
+        if hemi_q.isEmpty():
+            continue
+        hemi_t = targets.where(F.col(target_lat) * sign >= F.lit(slice_lat))
+        nn = knn_join_broadcast(
+            hemi_q, hemi_t, k=k, id_col=id_col, lat_col=lat_col, lon_col=lon_col,
+            target_id_col=target_id_col, target_lat=target_lat, target_lon=target_lon,
+        )
+        # settle proof: k hits found AND k-th distance ≤ min distance to any
+        # target outside the slice (pure-meridian haversine is exact for a
+        # latitude difference)
+        bound = (F.abs(F.col(lat_col)) - F.lit(slice_lat)) * F.lit(M_PER_DEG)
+        stats = nn.groupBy(id_col).agg(
+            F.max("distance_m").alias("_kth"), F.count(F.lit(1)).alias("_n")
+        )
+        proved = (
+            nn.join(stats, on=id_col)
+            .where((F.col("_n") >= F.lit(k)) & (F.col("_kth") <= bound))
+            .drop("_kth", "_n")
+        )
+        unproved = hemi_q.join(
+            proved.select(id_col).distinct(), on=id_col, how="left_anti"
+        )
+        parts.append(proved)
+        if not unproved.isEmpty():
+            parts.append(
+                knn_join(
+                    unproved, targets, k=k, res=res, id_col=id_col, lat_col=lat_col,
+                    lon_col=lon_col, target_id_col=target_id_col,
+                    target_lat=target_lat, target_lon=target_lon, **knn_kwargs,
+                )
+            )
+    for p in parts:
+        out = out.unionByName(p.select(*out.columns))
+    return out

@@ -88,19 +88,73 @@ def deterministic_centroids(
     )
 
 
+def lloyd_refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 3,
+    corpus_id: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refine seed centroids with ``n_iters`` Lloyd (k-means) rounds — each
+    round is one broadcast assign join + an element-wise mean aggregation
+    (posexplode → avg per (centroid, dim) → re-assemble ordered by dim), so
+    the cost per round is a single corpus pass; no driver-side vectors.
+    Centroids that lose every member keep their previous position (classic
+    empty-cluster rule). Cosine is scale-invariant, so means need no
+    re-normalization. Returns (centroid_id, vec_col) with double vectors."""
+    cents = _as_double(centroids, vec_col, "_zv").select(
+        centroid_id, F.col("_zv").alias(vec_col)
+    )
+    for _ in range(n_iters):
+        assigned = assign_centroids(corpus, cents, corpus_id, centroid_id, vec_col)
+        member_vecs = _as_double(assigned, vec_col, "_cv").select(centroid_id, "_cv")
+        dims = member_vecs.select(
+            centroid_id, F.posexplode(F.col("_cv")).alias("_pos", "_val")
+        )
+        means = (
+            dims.groupBy(centroid_id, "_pos")
+            .agg(F.avg("_val").alias("_v"))
+            .groupBy(centroid_id)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_v"))),
+                    lambda s: s["_v"],
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(means, on=centroid_id, how="left")
+            .select(
+                centroid_id,
+                F.coalesce(F.col("_new"), F.col(vec_col)).alias(vec_col),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    n_iters: int = 0,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest centroid buckets per query, exact
-    top-k within the probed subset. Output: (query_id, vec_id, cosine, rank)."""
+    top-k within the probed subset. Output: (query_id, vec_id, cosine, rank).
+    ``n_iters`` > 0 refines the deterministic seed centroids with that many
+    Lloyd rounds before assignment (better-balanced buckets → better recall
+    at the same nprobe)."""
     centroids = deterministic_centroids(corpus, n_centroids, corpus_id, vec_col)
+    if n_iters > 0:
+        centroids = lloyd_refine_centroids(
+            corpus, centroids, n_iters, corpus_id, "centroid_id", vec_col
+        )
     assigned = assign_centroids(corpus, centroids, corpus_id, "centroid_id", vec_col)
 
     # queries → their nprobe nearest centroids

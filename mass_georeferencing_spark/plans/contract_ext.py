@@ -57,12 +57,13 @@ def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: IVF recall is verified against brute force in tests/test_similarity.py
+    # rows-only: IVF recall is verified against brute force in tests/test_similarity.py;
+    # n_iters=2 runs the Lloyd centroid refinement under the driver gate
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3)
+    return similarity.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=3, n_iters=2)
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

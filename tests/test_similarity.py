@@ -48,3 +48,43 @@ def test_centroid_assignment_total(spark, emb):
     assigned = similarity.assign_centroids(emb, cents)
     assert assigned.count() == emb.count()  # exactly one centroid per vector
     assert assigned.select("centroid_id").distinct().count() <= 8
+
+
+def test_lloyd_converges_to_cluster_means(spark):
+    # two tight, well-separated direction clusters; seeds start inside ONE
+    # cluster; after refinement the two centroids must split the clusters
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 1.0, 0.0]))       # cluster A
+    for i in range(20, 40):
+        rows.append((i, [0.0, 1.0, 10.0 + (i % 5) * 0.01]))       # cluster B
+    emb2 = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeds = spark.createDataFrame(
+        [(0, [10.0, 1.0, 0.0]), (1, [9.9, 1.2, 0.1])], ["centroid_id", "embedding"]
+    )
+    refined = {
+        r.centroid_id: r.embedding
+        for r in similarity.lloyd_refine_centroids(emb2, seeds, n_iters=4).collect()
+    }
+    # one centroid owns A (x >> z), the other owns B (z >> x)
+    kinds = sorted("A" if v[0] > v[2] else "B" for v in refined.values())
+    assert kinds == ["A", "B"]
+
+
+def test_ivf_recall_holds_with_lloyd(spark, emb):
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(queries, emb, k=5).collect()
+    bset = {(r.query_id, r.vec_id) for r in brute}
+
+    def recall(n_iters):
+        ivf = similarity.ivf_topk(
+            queries, emb, k=5, n_centroids=8, nprobe=4, n_iters=n_iters
+        ).collect()
+        iset = {(r.query_id, r.vec_id) for r in ivf}
+        for qid in range(10):
+            assert (qid, qid) in iset  # self hit always survives
+        return len(bset & iset) / len(bset)
+
+    assert recall(3) >= 0.5

@@ -236,3 +236,60 @@ def test_signflip_knn_fallback_semantics(spark):
     assert r.polygon_id == "p_mid"
     assert 0 < r.distance_km < 600
     assert r.note == f"Spatial error, distance from p_mid: {r.distance_km:.2f}km"
+
+
+def test_knn_polar_safe_matches_brute_on_polar_fixture(spark):
+    # poles-heavy queries: |lat| in [78, 89.9] both hemispheres + equator rows;
+    # targets dense at the caps AND a sparse-cap case (unproved -> ring path)
+    import numpy as np
+
+    from mass_georeferencing_spark.operators.knn import knn_join_polar_safe
+
+    rng = np.random.RandomState(7)
+    q_rows = []
+    for i in range(40):
+        lat = float(rng.uniform(78, 89.9)) * (1 if i % 2 else -1)
+        q_rows.append((f"q{i}", lat, float(rng.uniform(-180, 180))))
+    for i in range(10):
+        q_rows.append((f"e{i}", float(rng.uniform(-10, 10)), float(rng.uniform(-180, 180))))
+    t_rows = []
+    for j in range(60):
+        lat = float(rng.uniform(70, 90)) * (1 if j % 2 else -1)
+        t_rows.append((f"t{j}", lat, float(rng.uniform(-180, 180))))
+    for j in range(40):
+        t_rows.append((f"m{j}", float(rng.uniform(-60, 60)), float(rng.uniform(-180, 180))))
+    q = spark.createDataFrame(q_rows, ["query_id", "lat", "lon"])
+    t = spark.createDataFrame(t_rows, ["target_id", "target_lat", "target_lon"])
+
+    got = {
+        (r.query_id, r.knn_rank): r.target_id
+        for r in knn_join_polar_safe(q, t, k=2, res=3).collect()
+    }
+
+    # brute-force oracle in numpy
+    from mass_georeferencing_spark.functions.geo import haversine_m
+
+    tl = np.array([(r[1], r[2]) for r in t_rows])
+    want = {}
+    for qid, qlat, qlon in q_rows:
+        d = haversine_m(np.full(len(tl), qlon), np.full(len(tl), qlat), tl[:, 1], tl[:, 0])
+        order = sorted(range(len(tl)), key=lambda j: (d[j], t_rows[j][0]))
+        for rank, j in enumerate(order[:2], start=1):
+            want[(qid, rank)] = t_rows[j][0]
+    assert got == want
+
+
+def test_knn_polar_safe_sparse_cap_falls_back_exactly(spark):
+    # cap has FEWER than k targets -> settle proof fails -> ring fallback path
+    from mass_georeferencing_spark.operators.knn import knn_join_polar_safe
+
+    q = spark.createDataFrame([("q1", 85.0, 10.0)], ["query_id", "lat", "lon"])
+    t = spark.createDataFrame(
+        [("t_cap", 84.0, 12.0), ("t_mid", 40.0, 10.0), ("t_low", -10.0, 10.0)],
+        ["target_id", "target_lat", "target_lon"],
+    )
+    got = sorted(
+        (r.knn_rank, r.target_id)
+        for r in knn_join_polar_safe(q, t, k=2, res=3).collect()
+    )
+    assert got == [(1, "t_cap"), (2, "t_mid")]
