@@ -69,17 +69,21 @@ def _char_masks(a: str) -> dict[str, int]:
 
 def _boundary_best(a: str, text: str, max_t: int) -> float:
     """Best ``ratio(a, text[:t])`` over prefix lengths t in [1, max_t] — one
-    incremental Allison-Dix scan (after t steps, v encodes LCS(a, text[:t]))."""
+    incremental Allison-Dix scan (after t steps, v encodes LCS(a, text[:t]);
+    the LCS grows by 1 exactly when the add carries out of the mask, so no
+    per-step popcount)."""
     pm = _char_masks(a)
     la = len(a)
     mask = (1 << la) - 1
     get = pm.get
     v = mask
+    lcs = 0
     best = 0.0
     for t in range(1, min(max_t, len(text)) + 1):
         mm = get(text[t - 1], 0)
-        v = ((v + (v & mm)) | (v & ~mm)) & mask
-        lcs = la - bin(v).count("1")
+        add = v + (v & mm)
+        lcs += add >> la
+        v = (add | (v & ~mm)) & mask
         score = 200.0 * lcs / (la + t)
         if score > best:
             best = score

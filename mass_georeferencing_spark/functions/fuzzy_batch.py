@@ -163,15 +163,28 @@ def _boundary_scan(
     if m == 0:
         return best
     v = mask.copy()
+    lcs = np.zeros(m, dtype=np.int64)
+    ls_u = ls.astype(np.uint64)
+    min_ls = int(ls.min())
     max_t = int((ls - 1).max(initial=0))
     for t in range(1, max_t + 1):
-        act = (ls > t) & (ll >= t)
+        act = ls > t
         if not act.any():
             break
         mm = pm[rows, txt_codes[:, t - 1]]
-        vn = ((v + (v & mm)) | (v & ~mm)) & mask
-        v = np.where(act, vn, v)
-        lcs = ls - _popcount64(v & mask)
+        w = v & mm
+        add = v + w
+        # LCS grows by exactly 1 iff the add carries out of the ls-bit mask —
+        # no per-step popcount needed (Allison-Dix carry property); v ^ w
+        # equals v & ~mm (w ⊆ v), saving the negation temporary
+        carry = ((add >> ls_u) & _ONE).astype(np.int64)
+        vn = (add | (v ^ w)) & mask
+        if t < min_ls:  # every pair still active: skip the where-merges
+            v = vn
+            lcs = lcs + carry
+        else:
+            v = np.where(act, vn, v)
+            lcs = np.where(act, lcs + carry, lcs)
         score = 200.0 * lcs / (ls + t)
         best = np.where(act & (score > best), score, best)
     return best
@@ -223,6 +236,9 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     mask = (_ONE << ls.astype(np.uint64)) - _ONE
     rows = np.arange(m)
     best = np.zeros(m, dtype=np.int64)
+    boundary_best = np.zeros(m, dtype=np.float64)
+    ls_u = ls.astype(np.uint64)
+    min_ls = int(ls.min())
     n_windows = ll - ls + 1
     max_windows = int(n_windows.max())
     for start in range(max_windows):
@@ -230,13 +246,35 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
         if not win_active.any():
             break
         v = mask.copy()
+        if start == 0:
+            # window 0's intermediate DP states ARE the prefix-overhang states:
+            # after j chars, v encodes LCS(short, long[:j]) — the clipped
+            # prefix alignments come for free from this pass (carry property)
+            lcs_run = np.zeros(m, dtype=np.int64)
         for j in range(max_ls):
             active = ls > j
             if not active.any():
                 break
             mm = pm[rows, l_codes[:, start + j]]
-            vn = ((v + (v & mm)) | (v & ~mm)) & mask
-            v = np.where(active, vn, v)
+            w = v & mm
+            add = v + w
+            vn = (add | (v ^ w)) & mask  # v ^ w == v & ~mm (w ⊆ v)
+            if start == 0:
+                carry = ((add >> ls_u) & _ONE).astype(np.int64)
+                if j < min_ls:
+                    lcs_run = lcs_run + carry
+                else:
+                    lcs_run = np.where(active, lcs_run + carry, lcs_run)
+                pa = ls > j + 1  # prefix windows strictly shorter than needle
+                if pa.any():
+                    sc = 200.0 * lcs_run / (ls + j + 1)
+                    boundary_best = np.where(
+                        pa & (sc > boundary_best), sc, boundary_best
+                    )
+            if j < min_ls:
+                v = vn
+            else:
+                v = np.where(active, vn, v)
         lcs = ls - _popcount64(v & mask)
         best = np.where(win_active & (lcs > best), lcs, best)
         if (best >= ls).all():
@@ -244,14 +282,15 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     score = 100.0 * best / ls
     need_boundary = (best < ls) & (ls > 1)
     if need_boundary.any():
-        # prefix overhangs: one incremental scan over the longs' first ls-1
-        # chars; suffix overhangs: same scan over REVERSED pattern and text
-        pre = _boundary_scan(pm, mask, ls, ll, l_codes, rows)
+        # suffix overhangs: the same incremental scan over REVERSED pattern
+        # and text (prefix overhangs were fused into the window-0 pass above)
         s_codes_r = _encode_with_vocab([s[::-1] for s in shorts], max_ls, vocab)
-        l_codes_r = _encode_with_vocab([s[::-1] for s in longs], max_ll + max_ls, vocab)
+        l_codes_r = _encode_with_vocab([s[::-1] for s in longs], max_ls, vocab)
         pm_r = _pattern_masks(s_codes_r, ls, len(vocab))
         suf = _boundary_scan(pm_r, mask, ls, ll, l_codes_r, rows)
-        score = np.where(need_boundary, np.maximum(score, np.maximum(pre, suf)), score)
+        score = np.where(
+            need_boundary, np.maximum(score, np.maximum(boundary_best, suf)), score
+        )
     # maximum.at: equal-length pairs contribute two directed entries per index
     np.maximum.at(out, np.asarray(vec_idx), score)
     return out
