@@ -240,10 +240,13 @@ def fuzzy_candidate_join(
         parallelism = groups.sparkSession.sparkContext.defaultParallelism
         if dedup_pairs == "shuffle":
             # both distinct sides shuffled on the block key: no broadcast-range
-            # cap on the name vocabulary. The scoring UDF inherits the join's
-            # block-hash distribution — AQE's skew-join split handles hot
-            # blocks, and `salt` spreads a tiny block-key space.
-            pairs = q_d.join(n_d, on=block_keys)
+            # cap on the name vocabulary. The caller chose this mode BECAUSE
+            # the name side is too big to broadcast, so the shuffled hash join
+            # is requested explicitly (size stats on a distinct agg are
+            # estimates Catalyst could get wrong). The scoring UDF inherits
+            # the join's block-hash distribution — AQE's skew-join split
+            # handles hot blocks, and `salt` spreads a tiny block-key space.
+            pairs = q_d.join(n_d.hint("shuffle_hash"), on=block_keys)
         else:
             pairs = q_d.repartition(2 * parallelism).join(F.broadcast(n_d), on=block_keys)
         scored_pairs = (

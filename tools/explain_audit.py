@@ -41,6 +41,7 @@ CHECKS = {
     "broadcast_join": re.compile(r"BroadcastHashJoin"),
     "codegen": re.compile(r"codegen id :|WholeStageCodegen"),
     "arrow_udf": re.compile(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"),
+    "shuffle_join": re.compile(r"SortMergeJoin|ShuffledHashJoin"),
 }
 
 
@@ -110,6 +111,37 @@ def main() -> int:
     print("== cell_assign ==")
     print(f"  jvm_only: {'OK' if no_python else 'MISSING'}")
     ok &= no_python
+
+    # 6. GADM alias expansion: pure JVM (projections + generators + one
+    #    broadcast abbreviation join), no Python anywhere
+    from mass_georeferencing_spark.operators.layers import gadm_alias_names
+
+    aliases = gadm_alias_names(syn.gadm_df(spark, sf), syn.state_abbreviations_df(spark))
+    ok &= audit("gadm_aliases", aliases, ["broadcast_join", "codegen"])
+    plan = plan_of(aliases)
+    no_python = not CHECKS["arrow_udf"].search(plan)
+    print(f"  jvm_only: {'OK' if no_python else 'MISSING'}")
+    ok &= no_python
+
+    # 7. fuzzy shuffle-dedup path: the pair join is a SHUFFLED join (no
+    #    broadcast-range cap on the name side), Arrow UDF still the only
+    #    Python boundary
+    scored_sh = fuzzy_candidate_join(groups, cands, dedup_pairs="shuffle")
+    ok &= audit("fuzzy_join_shuffle", scored_sh, ["shuffle_join", "arrow_udf", "codegen"])
+
+    # 8. J12 kNN fallback: PIP refine + broadcast-kNN matrix are the designed
+    #    Arrow points; everything else JVM
+    from mass_georeferencing_spark.operators.spatial import signflip_knn_fallback
+
+    pts12 = (
+        syn.mentions_df(spark, sf)
+        .where(F.col("lat").isNotNull())
+        .dropDuplicates(["url"])
+        .select("url", "lat", "lon")
+        .withColumn("claimed_polygon", F.lit("aoi:0"))
+    )
+    fb = signflip_knn_fallback(pts12, aoi, k=3)
+    ok &= audit("j12_knn_fallback", fb, ["arrow_udf", "codegen"])
 
     print(f"\nAUDIT {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
