@@ -38,7 +38,14 @@ def amplified_pages(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     """pages × factor with deterministic text mutation: replica r prepends a
     vocab word, shifting every mention/name extraction — disjoint replica
     'dialects' keep the pair space realistic instead of factor² duplicates."""
-    pages = syn.pages_df(spark, sf_dir)
+    # the sf0.1 documents parquet is ONE file → one scan partition; the
+    # amplification crossJoin (tiny replica side broadcast) inherits that and
+    # serializes the whole derive chain. A real web-scale input arrives in
+    # thousands of splits, so spread the small PRE-amplification side — a
+    # 4k-row shuffle — and every replica slice amplifies in parallel.
+    pages = syn.pages_df(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     reps = spark.range(factor).withColumnRenamed("id", "rep")
     vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
     return (
@@ -77,6 +84,7 @@ def amplified_mentions(pages: DataFrame) -> DataFrame:
 
 def amplified_gazetteer(spark: SparkSession, sf_dir: str, factor: int) -> DataFrame:
     gaz = syn.gazetteer_df(spark, sf_dir)
+    gaz = gaz.repartition(spark.sparkContext.defaultParallelism)
     reps = spark.range(factor).withColumnRenamed("id", "rep")
     vocab_arr = F.array(*[F.lit(w) for w in VOCAB])
     return (

@@ -106,9 +106,16 @@ def _score_batch(
     qf: pd.Series, qn: pd.Series, nm: pd.Series, threshold: float | None
 ) -> pd.DataFrame:
     """Vectorized batch scoring (functions/fuzzy_batch.py): the bit-parallel
-    LCS DP runs as uint64 numpy ops across the whole Arrow batch — exact
-    results, so sound under any threshold (the scalar prune short-circuit in
-    :func:`score_pair` is kept for targeted/streamed use)."""
+    LCS DP runs as uint64 numpy ops across the whole Arrow batch.
+
+    With a ``threshold`` (the downstream ``score1 + score2 > threshold``
+    filter), the cheap token_set kernel runs FIRST and the expensive
+    window-scanning partial_ratio runs only for pairs that could still pass:
+    score1 ≤ 100 always, so score2 ≤ threshold − 100 means the pair is dropped
+    either way and its score1 short-circuits to 0 — the same soundness
+    argument as :func:`score_pair`'s scalar prune. On blocked pair spaces most
+    pairs are dissimilar, so most skip the partial_ratio scan entirely.
+    ``threshold=None`` keeps both scores exact for every pair."""
     a = qf.fillna("").astype(str).tolist()
     b = qn.fillna("").astype(str).tolist()
     c = nm.fillna("").astype(str).tolist()
@@ -117,12 +124,19 @@ def _score_batch(
     # vectors thrash the shared LLC when every core scores at once (measured
     # 2x loss at 32 cores on one socket)
     chunk = 4000
-    s1 = np.empty(n, dtype=np.float64)
+    s1 = np.zeros(n, dtype=np.float64)
     s2 = np.empty(n, dtype=np.float64)
     for i in range(0, n, chunk):
         j = min(i + chunk, n)
-        s1[i:j] = fuzzy_batch.batch_partial_ratio(a[i:j], c[i:j])
         s2[i:j] = fuzzy_batch.batch_token_set_ratio(b[i:j], c[i:j])
+        if threshold is None:
+            s1[i:j] = fuzzy_batch.batch_partial_ratio(a[i:j], c[i:j])
+        else:
+            need = np.nonzero(s2[i:j] > threshold - 100.0)[0]
+            if len(need):
+                s1[i + need] = fuzzy_batch.batch_partial_ratio(
+                    [a[i + k] for k in need], [c[i + k] for k in need]
+                )
     return pd.DataFrame({"score1": s1, "score2": s2}, index=qf.index)
 
 

@@ -58,3 +58,26 @@ def test_score_pair_prune_sound(triples):
         assert keep_exact == keep_pruned, (qf, qn, nm, exact, pruned)
         if keep_exact:
             assert exact == pruned
+
+
+def test_score_batch_threshold_prune_sound():
+    # batch prune: identical keep-set and identical scores for kept pairs
+    import pandas as pd
+
+    from mass_georeferencing_spark.operators.fuzzy_join import (
+        FUZZY_SUM_THRESHOLD,
+        _score_batch,
+    )
+
+    qf = pd.Series(["rio grande", "lake tahoe", "zzz qqq", "black river", "x"])
+    qn = pd.Series(["rio grande", "lake tahoe", "zzz qqq", "black river", "x"])
+    nm = pd.Series(["rio grande", "tahoe city", "unrelated words", "black riv", "y"])
+    exact = _score_batch(qf, qn, nm, None)
+    pruned = _score_batch(qf, qn, nm, FUZZY_SUM_THRESHOLD)
+    for i in range(len(qf)):
+        keep_e = exact.score1[i] + exact.score2[i] > FUZZY_SUM_THRESHOLD
+        keep_p = pruned.score1[i] + pruned.score2[i] > FUZZY_SUM_THRESHOLD
+        assert keep_e == keep_p, i
+        if keep_e:
+            assert exact.score1[i] == pruned.score1[i]
+            assert exact.score2[i] == pruned.score2[i]
