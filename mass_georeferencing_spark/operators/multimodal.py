@@ -33,35 +33,71 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.rand(dim).astype(np.float32)
 
 
+def default_encoder(dim: int):
+    """Resolve the best available per-batch encoder at EXECUTOR import time:
+    a real image decoder (Pillow → grayscale thumbnail features) when the
+    library exists, else the deterministic fake. The import-try runs inside
+    the task, so a cluster whose workers carry codec libraries upgrades
+    automatically while this sandbox stays green."""
+    try:  # pragma: no cover - codec libs absent in this environment
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        def encode(payload: bytes) -> np.ndarray:
+            try:
+                img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+                v = np.asarray(img, dtype=np.float32).ravel() / 255.0
+                out = np.zeros(dim, dtype=np.float32)
+                out[: min(dim, v.size)] = v[:dim]
+                return out
+            except Exception:  # undecodable payload → stable fallback
+                return _fake_features(payload, dim)
+
+        return encode
+    except ImportError:
+
+        def encode_fake(payload: bytes) -> np.ndarray:
+            return _fake_features(payload, dim)
+
+        encode_fake.is_fake = True
+        return encode_fake
+
+
 def decode_and_embed(
     media: DataFrame,
     dim: int = 64,
     id_col: str = "media_id",
     payload_col: str = "payload",
     strict: bool = False,
+    encoder=None,
 ) -> DataFrame:
     """media → (media_id, n_bytes, content_hash, features array<float>).
 
-    ``strict=True`` raises NotImplementedError where the real decoder would run
-    (no image/audio libs in this container); ``strict=False`` emits the
-    deterministic fake so downstream similarity/dedup plumbing is exercised.
+    ``encoder``: an optional ``bytes -> np.ndarray[dim]`` callable (must be
+    picklable — a module-level function or functools.partial) plugged into the
+    Arrow batch loop; defaults to :func:`default_encoder`'s resolution (real
+    codec when the executor has one, deterministic fake here).
+    ``strict=True`` raises NotImplementedError where a real decoder is
+    REQUIRED (refuses the fake path).
     """
     schema = f"{id_col} string, n_bytes long, content_hash string, features array<float>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = encoder if encoder is not None else default_encoder(dim)
+        if strict and getattr(enc, "is_fake", False):
+            raise NotImplementedError(
+                "media decode requires an image/audio codec not present in this "
+                "environment; pass encoder= or install one on the executors"
+            )
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "media decode requires an image/audio codec not present in this "
-                    "environment; plumbing validated with strict=False fakes"
-                )
             payloads = [bytes(p) if p is not None else b"" for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype(str),
                     "n_bytes": [len(p) for p in payloads],
                     "content_hash": [hashlib.md5(p).hexdigest() for p in payloads],
-                    "features": [_fake_features(p, dim) for p in payloads],
+                    "features": [enc(p) for p in payloads],
                 }
             )
 
