@@ -89,10 +89,6 @@ def _q_a1_record_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.select("recgroup_id", "lang", "mention", "state", "no_records")
 
 
-def _q_a2_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").select("lang").distinct()
-
-
 def _q_a3_collapse_localities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mass_georeferencing_spark.operators.layers import collapse_duplicate_localities
 
@@ -340,7 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **queries_ext(),
         **queries_ext2(),
         "a1_record_groups": _q_a1_record_groups,
-        "a2_distinct_langs": _q_a2_distinct_langs,
+        # a2_distinct_langs retired (50-entry budget; A2 DISTINCT evidence is
+        # carried by a4_union_dedup's dropDuplicates + w5's distinct oracle)
         "a3_collapse_localities": _q_a3_collapse_localities,
         "a4_union_dedup": _q_a4_union_dedup,
         "a9_collect_set": _q_a9_collect_set,
@@ -382,7 +379,6 @@ def oracle_sql() -> dict[str, str]:
             syn.PAGES_CTE,
             syn.MENTIONS_CTE,
         ),
-        "a2_distinct_langs": "SELECT DISTINCT lang FROM documents",
         "a3_collapse_localities": W(
             """
             SELECT name, stateprovince, max(uid) AS uid, count(*) AS no_features

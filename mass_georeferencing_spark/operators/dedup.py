@@ -387,3 +387,56 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard near-dup pairs within blocks —
+    (id_a, id_b, jaccard) for jaccard ≥ threshold.
+
+    PURE JVM: shingles via a codegen'd sequence+transform+substring expression,
+    similarity via array_intersect/array_union — no Python boundary at all, so
+    the whole operator is DuckDB-oracle-checkable value-for-value (unlike the
+    MinHash path, whose LSH banding is the probabilistic SCALE version of this
+    exact kernel). The pair space is quadratic WITHIN a block: use it as the
+    verification/small-block tool; route web-scale corpora through
+    :func:`minhash_dedup_pairs` (banded LSH) and reserve this for final
+    verification of survivor pairs or bounded blocks.
+    """
+    block_cols = block_cols or []
+    sh = docs.select(
+        *block_cols,
+        F.col(id_col),
+        F.expr(
+            f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+            f" i -> substring({text_col}, i, {n})))"
+        ).alias("_g"),
+    )
+    a = sh.select(
+        *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("_g").alias("_ga"),
+    )
+    b = sh.select(
+        *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("_g").alias("_gb"),
+    )
+    cond = [F.col(f"_ba_{c}") == F.col(f"_bb_{c}") for c in block_cols] + [
+        F.col("id_a") < F.col("id_b")
+    ]
+    j = F.size(F.array_intersect(F.col("_ga"), F.col("_gb"))) / F.size(
+        F.array_union(F.col("_ga"), F.col("_gb"))
+    )
+    return (
+        a.join(b, on=cond)
+        .withColumn("jaccard", F.round(j, 6))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -35,6 +35,18 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard near-dup pairs within (lang, source) blocks —
+    the JVM-only exact kernel whose probabilistic scale version is the MinHash
+    LSH path; fully value-oracled (unlike the LSH queries)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.5,
+        block_cols=["lang", "source"],
+    )
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.42, block_col="label"
@@ -206,6 +218,7 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries_ext() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "emb_near_dup": _q_emb_near_dup,
@@ -250,6 +263,21 @@ def oracle_ext() -> dict[str, str]:
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
             " count(*) AS n_dupes FROM documents GROUP BY md5(text)"
         ),
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text) - 2, 1)),
+                       i -> substr(text, i, 3))) AS g
+              FROM documents)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(len(list_intersect(a.g, b.g))
+                       / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.5
+        """,
         "emb_near_dup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_COS.format(a="a.v", b="b.v", r=6)} AS cosine

@@ -122,3 +122,23 @@ def test_embedding_lsh_near_dup(spark):
     assert len(exact) == 15  # 5 clusters x C(3,2)
     recall = len(lsh) / len(exact)
     assert recall >= 0.8, recall  # near-identical vectors collide in >=1 band
+
+
+def test_ngram_jaccard_exact_and_blocked(spark):
+    from mass_georeferencing_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdef", "en"),
+            (2, "abcdeX", "en"),   # shares 3 of 4+.. trigrams with doc 1
+            (3, "abcdef", "de"),   # identical text, DIFFERENT block -> no pair
+            (4, "zzzzzz", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, block_cols=["lang"]
+    ).collect()}
+    # trigrams(abcdef) = {abc,bcd,cde,def}; trigrams(abcdeX) = {abc,bcd,cde,deX}
+    # intersection 3, union 5 -> 0.6
+    assert out == {(1, 2): 0.6}
