@@ -135,7 +135,7 @@ def build_suite(spark: SparkSession, sf_dir: str):
         groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
         candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
         scored = fuzzy_candidate_join(
-            groups, candidates, broadcast_candidates=True
+            groups, candidates  # AQE picks the join-back strategy (measured faster than forced broadcast)
         ).withColumn(
             "candidate_id", group_id(F.col("recgroup_id"), F.col("uid"), F.col("data_source"))
         )

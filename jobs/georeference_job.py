@@ -89,7 +89,7 @@ def main() -> None:
         groups = build_record_groups(mentions, coord_cols=("lat", "lon")).persist()
         candidates = normalize_candidates(explode_alternate_names(gaz)).persist()
         scored = fuzzy_candidate_join(
-            groups, candidates, broadcast_candidates=True
+            groups, candidates  # join-back strategy: AQE decides from runtime sizes
         ).withColumn(
             "candidate_id",
             group_id(F.col("recgroup_id"), F.col("uid"), F.col("data_source")),

@@ -191,7 +191,7 @@ def run_georeference_checkpointed(
     top = ck.run_stage(
         "top",
         lambda: topk_per_group(
-            fuzzy_candidate_join(groups, candidates, broadcast_candidates=True).withColumn(
+            fuzzy_candidate_join(groups, candidates).withColumn(
                 "candidate_id",
                 group_id(F.col("recgroup_id"), F.col("uid"), F.col("data_source")),
             ),

@@ -48,7 +48,7 @@ def georeference(
     range_scoring: bool = False,
     elevation_scoring: bool = False,
     elevation_strategy: str = "broadcast",
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool = False,
     cell_res: int = C.DEFAULT_POINT_RES,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline over the synthetic pages/gazetteer derivation.

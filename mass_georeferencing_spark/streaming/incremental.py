@@ -83,7 +83,7 @@ def start_incremental_georeference(
             return
         mentions = geoparse_stream(batch_df)
         groups = build_record_groups(mentions)
-        scored = fuzzy_candidate_join(groups, cand, broadcast_candidates=True)
+        scored = fuzzy_candidate_join(groups, cand)
         scored.write.mode("append").parquet(out_path)
 
     return (
