@@ -46,9 +46,13 @@ def main() -> None:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .getOrCreate()
     )
-    # size reducer count to the ACTUAL parallelism of this run, not the global 200
+    # size reducer count to the data, NOT to this run's core count: the
+    # scaling-evidence protocol runs the IDENTICAL plan at every parallelism
+    # level, so the reducer count must stay constant across levels (floor 8,
+    # same as session.get_spark's bench default)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 8)),
     )
     spark.sparkContext.setLogLevel("WARN")
 
