@@ -82,7 +82,10 @@ def as_of_join(
     same best version), and identical duplicate fact rows keep their
     multiplicity — the window never partitions over fact payload columns.
     Dim versions tying on version_ts resolve deterministically by the remaining
-    dim payload columns ascending.
+    ORDERABLE dim payload columns ascending (map-typed and other unorderable
+    columns are skipped — including them would fail at analysis; a dim with
+    only unorderable payload falls back to nondeterministic tie choice, same
+    as a plain row_number over an under-specified order).
 
     The distinct (key, ts) set is also the scale win: the non-equi version
     range join runs over the deduplicated keys, not every fact row.
@@ -100,8 +103,22 @@ def as_of_join(
         *[F.col(f"f.{c}") for c in key_cols],
         *[F.col(f"d.{c}").alias(f"dim_{c}") for c in dim_payload_names],
     )
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(fld.dataType) for fld in dt.fields)
+        return True
+
+    dim_types = {fld.name: fld.dataType for fld in dims.schema.fields}
     order = [F.col(f"dim_{version_ts_col}").desc()] + [
-        F.col(f"dim_{c}").asc() for c in dim_payload_names if c != version_ts_col
+        F.col(f"dim_{c}").asc()
+        for c in dim_payload_names
+        if c != version_ts_col and _orderable(dim_types[c])
     ]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     best = (

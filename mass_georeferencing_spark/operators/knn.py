@@ -286,7 +286,8 @@ def knn_join_polar_safe(
         nn = knn_join_broadcast(
             hemi_q, hemi_t, k=k, id_col=id_col, lat_col=lat_col, lon_col=lon_col,
             target_id_col=target_id_col, target_lat=target_lat, target_lon=target_lon,
-        )
+        ).localCheckpoint(eager=True)  # the isEmpty() proof probes below would
+        # otherwise re-execute the whole brute subtree on final materialization
         # settle proof: k hits found AND k-th distance ≤ min distance to any
         # target outside the slice (pure-meridian haversine is exact for a
         # latitude difference)

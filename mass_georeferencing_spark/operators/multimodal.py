@@ -33,12 +33,15 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.rand(dim).astype(np.float32)
 
 
-def default_encoder(dim: int):
+def default_encoder(dim: int, strict: bool = False):
     """Resolve the best available per-batch encoder at EXECUTOR import time:
     a real image decoder (Pillow → grayscale thumbnail features) when the
     library exists, else the deterministic fake. The import-try runs inside
     the task, so a cluster whose workers carry codec libraries upgrades
-    automatically while this sandbox stays green."""
+    automatically while this sandbox stays green.
+
+    ``strict=True`` guarantees no fake features row-wise: an undecodable
+    payload raises instead of falling back to the content-hash fake."""
     try:  # pragma: no cover - codec libs absent in this environment
         import io
 
@@ -51,7 +54,11 @@ def default_encoder(dim: int):
                 out = np.zeros(dim, dtype=np.float32)
                 out[: min(dim, v.size)] = v[:dim]
                 return out
-            except Exception:  # undecodable payload → stable fallback
+            except Exception as e:  # undecodable payload
+                if strict:
+                    raise ValueError(
+                        f"strict decode: undecodable payload ({len(payload)} bytes)"
+                    ) from e
                 return _fake_features(payload, dim)
 
         return encode
@@ -84,7 +91,7 @@ def decode_and_embed(
     schema = f"{id_col} string, n_bytes long, content_hash string, features array<float>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        enc = encoder if encoder is not None else default_encoder(dim)
+        enc = encoder if encoder is not None else default_encoder(dim, strict)
         if strict and getattr(enc, "is_fake", False):
             raise NotImplementedError(
                 "media decode requires an image/audio codec not present in this "

@@ -379,12 +379,16 @@ def sign_flip_variants(
     id_col: str = "url",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """J12 leg 1 input: the four sign-flip coordinate variants per point
-    (ui/mass_georef_shiny/functions.R:40-88 tries lat/lng sign combinations)."""
+    (ui/mass_georef_shiny/functions.R:40-88 tries lat/lng sign combinations).
+    ``extra_cols`` pass through unchanged (e.g. the claimed-polygon column the
+    fallback leg gates on)."""
     lat, lon = F.col(lat_col), F.col(lon_col)
     return points.select(
         id_col,
+        *extra_cols,
         F.explode(
             F.array(
                 F.struct(F.lit("as_is").alias("variant"), lat.alias(lat_col), lon.alias(lon_col)),
@@ -395,6 +399,7 @@ def sign_flip_variants(
         ).alias("_v"),
     ).select(
         id_col,
+        *extra_cols,
         F.col("_v.variant").alias("variant"),
         F.col(f"_v.{lat_col}").alias(lat_col),
         F.col(f"_v.{lon_col}").alias(lon_col),
@@ -414,11 +419,13 @@ def signflip_knn_fallback(
     res: int = 4,
 ) -> DataFrame:
     """J12 leg 2 — the nearest-polygon fallback that completes the sign-flip QC
-    (ui/mass_georef_shiny/functions.R:90-105): when NO sign-flip variant of a
-    point lands in ANY polygon, probe the k nearest polygon centroids; if one
-    of them IS the point's claimed polygon, report it with the distance note
-    ('Spatial error, distance from X: N.NNkm') exactly as the reference's
-    country_nearest leg does for coastal/island points.
+    (ui/mass_georef_shiny/functions.R:40-105): when NO sign-flip variant of a
+    point lands in its CLAIMED polygon (the reference checks each variant
+    against the record's claimed country only — a variant landing in some
+    *other* polygon does not settle the record), probe the k nearest polygon
+    centroids; if one of them IS the point's claimed polygon, report it with
+    the distance note ('Spatial error, distance from X: N.NNkm') exactly as
+    the reference's country_nearest leg does for coastal/island points.
 
     Plan: variants → PIP (broadcast cover) → anti-join to the unmatched set →
     broadcast kNN against the polygon centroids (polygon sets are dimension-
@@ -431,7 +438,7 @@ def signflip_knn_fallback(
 
     landed = (
         pip_join(
-            sign_flip_variants(points, id_col, lat_col, lon_col),
+            sign_flip_variants(points, id_col, lat_col, lon_col, extra_cols=(claimed_col,)),
             polygons,
             lat_col=lat_col,
             lon_col=lon_col,
@@ -440,6 +447,7 @@ def signflip_knn_fallback(
             res=res,
             strategy="broadcast",
         )
+        .where(F.col(poly_id_col) == F.col(claimed_col))
         .select(id_col)
         .distinct()
     )

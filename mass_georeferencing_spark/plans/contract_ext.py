@@ -396,12 +396,13 @@ def oracle_ext() -> dict[str, str]:
             pts AS (SELECT url, lat, lon, 'aoi:' || (doc_id % 5) AS claimed FROM m),
             landed AS (
               SELECT DISTINCT v.url FROM (
-                SELECT url, lat, lon FROM pts
-                UNION ALL SELECT url, -lat, lon FROM pts
-                UNION ALL SELECT url, lat, -lon FROM pts
-                UNION ALL SELECT url, -lat, -lon FROM pts) v
+                SELECT url, claimed, lat, lon FROM pts
+                UNION ALL SELECT url, claimed, -lat, lon FROM pts
+                UNION ALL SELECT url, claimed, lat, -lon FROM pts
+                UNION ALL SELECT url, claimed, -lat, -lon FROM pts) v
               JOIN aoi a ON v.lon > a.min_lon AND v.lon < a.max_lon
-                        AND v.lat > a.min_lat AND v.lat < a.max_lat),
+                        AND v.lat > a.min_lat AND v.lat < a.max_lat
+                        AND a.polygon_id = v.claimed),
             unm AS (SELECT * FROM pts WHERE url NOT IN (SELECT url FROM landed)),
             cents AS (SELECT polygon_id, (min_lat + max_lat) / 2.0 AS clat,
                              (min_lon + max_lon) / 2.0 AS clon FROM aoi),

@@ -77,3 +77,21 @@ def test_as_of_join_version_tie_is_deterministic(spark):
     )
     out = [r.dim_ver for r in as_of_join(facts, dims, on=["lang"]).collect()]
     assert out == ["vA"]
+
+
+def test_as_of_join_skips_unorderable_payload_columns(spark):
+    # a map-typed dim payload column must not enter the tie-break ORDER BY
+    # (maps are unorderable in Spark SQL -> analysis error); orderable payload
+    # columns still break the tie deterministically
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame([("u1", "en", _ts(10))], ["url", "lang", "warc_ts"])
+    dims = (
+        spark.createDataFrame(
+            [("en", "vB", _ts(9)), ("en", "vA", _ts(9))], ["lang", "ver", "version_ts"]
+        )
+        .withColumn("attrs", F.create_map(F.lit("k"), F.col("ver")))
+    )
+    rows = as_of_join(facts, dims, on=["lang"]).collect()
+    assert [r.dim_ver for r in rows] == ["vA"]
+    assert rows[0].dim_attrs == {"k": "vA"}

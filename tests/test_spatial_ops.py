@@ -227,11 +227,17 @@ def test_signflip_knn_fallback_semantics(spark):
             ("u_near_mid", 47.0, 47.0, "p_mid"),
             # near p_mid but CLAIMS p_far, which is not among k=2 nearest -> dropped
             ("u_wrong_claim", 47.0, 47.0, "p_far"),
+            # lands in p_origin (a WRONG polygon; claims p_mid) -> per
+            # functions.R:40-105 the claimed-country check fails, so the
+            # nearest leg still runs; p_mid IS among the k=2 nearest -> hit
+            ("u_wrong_land", -0.5, 0.5, "p_mid"),
         ],
         ["url", "lat", "lon", "claimed_polygon"],
     )
     out = {r.url: r for r in signflip_knn_fallback(pts, aoi, k=2).collect()}
-    assert set(out) == {"u_near_mid"}
+    assert set(out) == {"u_near_mid", "u_wrong_land"}
+    assert out["u_wrong_land"].polygon_id == "p_mid"
+    assert 6000 < out["u_wrong_land"].distance_km < 9000
     r = out["u_near_mid"]
     assert r.polygon_id == "p_mid"
     assert 0 < r.distance_km < 600
