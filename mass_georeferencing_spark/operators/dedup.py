@@ -18,6 +18,20 @@ Scale notes: every stage is one equi-join or group-by on a hash key — no cross
 join materializes. Minhash/simhash signatures are computed in one Arrow pass
 (crc32-based shingle hashing, numpy min-reduction — no per-row Python dispatch).
 Band fan-out is b rows per doc (b≈16): bounded, skew-free (hash keys).
+
+Degenerate-bucket guard (the adversarial-100 TB case): a real crawl has
+millions of empty / boilerplate pages that all collide in every band, and one
+such bucket goes O(n²) in candidate pairs before any verify stage can filter.
+Two rails, both on by default:
+
+- docs with NO shingles/tokens emit no LSH rows at all — they are byte-equal
+  duplicates of each other, which is :func:`exact_dedup`'s job, not a
+  similarity question;
+- every banded self-join is capped per bucket (``max_bucket``): bucket sizes
+  are counted with a map-side-combining groupBy (the hot key never floods one
+  reducer), the few oversized keys are broadcast, and their rows leave the
+  pair space via a broadcast anti-join. :func:`lsh_dropped_buckets` reports
+  exactly what a cap removed — bounded coverage is never silent.
 """
 
 from __future__ import annotations
@@ -82,6 +96,12 @@ def _shingle_hashes(sh: set[bytes]) -> np.ndarray:
     return np.fromiter((zlib.crc32(s) for s in sh), dtype=np.int64, count=len(sh))
 
 
+def _signature_from_shingles(sh: set[bytes]) -> np.ndarray:
+    h = _shingle_hashes(sh).astype(np.uint64)  # (s,) crc32 < 2^32
+    m = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(MERSENNE_P)
+    return m.min(axis=0).astype(np.int64)
+
+
 def minhash_signature(text: str, k: int = 5, kind: str = "char") -> np.ndarray:
     """(N_PERMS,) int64 minhash signature via universal hashing
     h_i(x) = (a_i*x + b_i) mod p over crc32 shingle hashes — one vectorized
@@ -89,9 +109,7 @@ def minhash_signature(text: str, k: int = 5, kind: str = "char") -> np.ndarray:
     sh = char_shingles(text, k) if kind == "char" else word_shingles(text, k)
     if not sh:
         return np.zeros(N_PERMS, dtype=np.int64)
-    h = _shingle_hashes(sh).astype(np.uint64)  # (s,) crc32 < 2^32
-    m = (h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % np.uint64(MERSENNE_P)
-    return m.min(axis=0).astype(np.int64)
+    return _signature_from_shingles(sh)
 
 
 def jaccard(a: set[bytes], b: set[bytes]) -> float:
@@ -127,6 +145,52 @@ def simhash64(text: str) -> int:
 # Spark operators
 # ---------------------------------------------------------------------------
 
+DEFAULT_MAX_BUCKET = 1000  # B docs in one bucket → B(B-1)/2 candidate pairs;
+# 1000 keeps the worst bucket under ~5·10^5 pairs while never firing on honest
+# near-dup clusters (verify stages handle those sizes easily)
+
+
+def _oversized_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """The (few) bucket keys whose row count exceeds ``max_bucket``.
+
+    groupBy (NOT a window): partial counts combine map-side, so the degenerate
+    hot key aggregates without funnelling its rows through one reducer."""
+    return (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket)
+    )
+
+
+def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Remove rows belonging to oversized LSH buckets via a broadcast anti-join
+    (the oversized-key set is tiny by construction — it's the pathology list)."""
+    if max_bucket is None:
+        return bands
+    hot = _oversized_buckets(bands, keys, max_bucket).select(*keys)
+    return bands.join(F.broadcast(hot), on=keys, how="left_anti")
+
+
+def lsh_dropped_buckets(
+    docs: DataFrame,
+    method: str = "minhash",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    **kw,
+) -> DataFrame:
+    """Report the buckets a cap would drop: (bucket keys…, bucket_n).
+
+    Bounded coverage must never be silent — pipelines that cap should run this
+    alongside and log/store the result (it is empty on healthy corpora)."""
+    if method == "minhash":
+        bands = minhash_bands(docs, **kw)
+        keys = ["band", "band_hash"]
+    elif method == "simhash":
+        bands = _simhash_banded(docs, **kw)
+        keys = ["band", "band_val"]
+    else:
+        raise ValueError(f"unknown LSH method: {method}")
+    return _oversized_buckets(bands, keys, max_bucket)
+
 
 def minhash_bands(
     docs: DataFrame,
@@ -150,7 +214,14 @@ def minhash_bands(
         for pdf in batches:
             ids, bands, hashes = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                sig = minhash_signature(text or "", k, kind)
+                sh = (char_shingles if kind == "char" else word_shingles)(text or "", k)
+                if not sh:
+                    # shingle-less doc: every such doc is byte-identical to
+                    # every other → exact_dedup territory; emitting the
+                    # all-zero signature here would build THE degenerate
+                    # bucket on a real crawl (millions of empty pages)
+                    continue
+                sig = _signature_from_shingles(sh)
                 for b in range(n_bands):
                     chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                     bh = zlib.crc32(chunk.tobytes()) | (b << 32)
@@ -170,11 +241,21 @@ def minhash_bands(
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    **kw,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 band bucket. Output (id_a, id_b),
-    id_a < id_b, distinct."""
-    bands = minhash_bands(docs, text_col, id_col, **kw)
+    id_a < id_b, distinct.
+
+    ``max_bucket`` drops buckets larger than the threshold before the
+    self-join (see module docstring); pass ``None`` to disable, and pair with
+    :func:`lsh_dropped_buckets` to report what a cap removed."""
+    bands = _cap_buckets(
+        minhash_bands(docs, text_col, id_col, **kw), ["band", "band_hash"], max_bucket
+    )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -239,19 +320,20 @@ def simhash_fingerprints(
     )
 
 
-def simhash_near_pairs(
+def _simhash_banded(
     docs: DataFrame,
-    max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64 bits into ``n_bands`` chunks (pigeonhole:
-    hamming ≤ n_bands-1 guarantees an exact band match), probe by band equality,
-    verify with JVM popcount(xor) ≤ max_hamming."""
-    fp = simhash_fingerprints(docs, text_col, id_col)
+    """(doc_id, simhash, band, band_val) rows for the pigeonhole probe.
+    Token-less docs emit nothing (they'd all collide on simhash 0 — the
+    degenerate bucket; exact_dedup owns byte-equal docs)."""
+    fp = simhash_fingerprints(
+        docs.where(F.length(F.trim(F.col(text_col))) > 0), text_col, id_col
+    )
     width = 64 // n_bands
-    banded = fp.select(
+    return fp.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
@@ -268,6 +350,23 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into ``n_bands`` chunks (pigeonhole:
+    hamming ≤ n_bands-1 guarantees an exact band match), probe by band equality,
+    verify with JVM popcount(xor) ≤ max_hamming. Buckets over ``max_bucket``
+    are dropped pre-join (module docstring; report via lsh_dropped_buckets)."""
+    banded = _cap_buckets(
+        _simhash_banded(docs, text_col, id_col, n_bands), ["band", "band_val"], max_bucket
+    )
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val")
     pairs = (
@@ -305,6 +404,7 @@ def embedding_lsh_near_dup(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scale path for cosine near-dup: random-hyperplane LSH.
 
@@ -352,6 +452,7 @@ def embedding_lsh_near_dup(
             )
         ).alias("bb"),
     ).select(id_col, "_v", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "band", "band_val")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "band", "band_val")
     pairs = (

@@ -132,8 +132,13 @@ def georeference(
             **knn_kwargs,
         ).select(F.col("query_id").alias("candidate_id"), "target_id")
         nearest = nearest.join(elev.select("target_id", "elev_m"), on="target_id")
+        # join-back is AQE-decided, NOT forced broadcast: `nearest` has one row
+        # per distinct surviving candidate — a set that grows with the data
+        # (top-k × #groups), unlike a dimension. AQE promotes to broadcast from
+        # the measured size when it fits (same treatment as the fuzzy
+        # join-backs, d104938).
         top = top.join(
-            F.broadcast(nearest.select("candidate_id", F.col("elev_m").alias("_elev"))),
+            nearest.select("candidate_id", F.col("elev_m").alias("_elev")),
             on="candidate_id",
             how="left",
         ).withColumn(

@@ -142,3 +142,42 @@ def test_ngram_jaccard_exact_and_blocked(spark):
     # trigrams(abcdef) = {abc,bcd,cde,def}; trigrams(abcdeX) = {abc,bcd,cde,deX}
     # intersection 3, union 5 -> 0.6
     assert out == {(1, 2): 0.6}
+
+
+def test_degenerate_bucket_guard(spark):
+    # adversarial crawl slice: 1000 empty pages + 300 identical boilerplate
+    # pages + a genuine near-dup pair. The empties must emit ZERO band rows
+    # (exact_dedup owns them); the boilerplate bucket must fall to the
+    # max_bucket cap; the honest near-dup must survive the capped path.
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    rows = (
+        [(i, "") for i in range(1000)]
+        + [(1000 + i, "cookie banner accept all rights reserved " * 5) for i in range(300)]
+        + [(5001, base), (5002, base.replace("dog", "cat"))]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+    # empties emit no LSH rows at all
+    assert dedup.minhash_bands(df.where("doc_id < 1000")).count() == 0
+
+    # cap drops the boilerplate bucket; the near-dup pair survives
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(df, threshold=0.6, max_bucket=50).collect()
+    }
+    assert (5001, 5002) in pairs
+    assert not any(1000 <= a < 2000 for a, _ in pairs)
+
+    # the drop is reportable, not silent
+    rep = dedup.lsh_dropped_buckets(df, method="minhash", max_bucket=50).collect()
+    assert rep and all(r.bucket_n == 300 for r in rep)
+
+    # simhash: same guard
+    sh_pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(df, max_hamming=8, max_bucket=50).collect()
+    }
+    assert (5001, 5002) in sh_pairs
+    assert not any(a < 2000 for a, _ in sh_pairs)
+    sh_rep = dedup.lsh_dropped_buckets(df, method="simhash", max_bucket=50).collect()
+    assert sh_rep and all(r.bucket_n == 300 for r in sh_rep)

@@ -143,6 +143,21 @@ def main() -> int:
     fb = signflip_knn_fallback(pts12, aoi, k=3)
     ok &= audit("j12_knn_fallback", fb, ["arrow_udf", "codegen"])
 
+    # 9. e2e pipeline: NO forced broadcast on any per-candidate-cardinality
+    #    join-back (candidate_id sides grow with data — top-k × #groups —
+    #    so they must be AQE-decided, not hinted). With AQE off and no hint,
+    #    an unhinted candidate_id join statically plans as SortMergeJoin;
+    #    any BroadcastHashJoin keyed on candidate_id here means someone
+    #    re-added an F.broadcast on a growing side.
+    from mass_georeferencing_spark.plans.pipeline import georeference
+
+    e2e = georeference(spark, sf, elevation_scoring=True)["kept"]
+    plan = plan_of(e2e)
+    forced = re.findall(r"BroadcastHashJoin \[candidate_id", plan)
+    print("== e2e_joinbacks ==")
+    print(f"  no_forced_candidate_broadcast: {'OK' if not forced else 'MISSING'}")
+    ok &= not forced
+
     print(f"\nAUDIT {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
