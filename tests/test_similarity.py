@@ -88,3 +88,46 @@ def test_ivf_recall_holds_with_lloyd(spark, emb):
         return len(bset & iset) / len(bset)
 
     assert recall(3) >= 0.5
+
+
+def test_assign_centroids_mapside_matches_window(spark, emb):
+    # the zero-shuffle numpy-argmax assignment must be row-identical to the
+    # all-DataFrame crossJoin+window baseline (same round-9 + lowest-id ties)
+    cents = similarity.deterministic_centroids(emb, 8)
+    m = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_centroids(emb, cents, strategy="mapside").collect()
+    }
+    w = {
+        r.vec_id: r.centroid_id
+        for r in similarity.assign_centroids(emb, cents, strategy="window").collect()
+    }
+    assert m == w and len(m) == emb.count()
+
+
+def test_assign_centroids_mapside_plan_has_no_exchange(spark, emb):
+    import io
+    from contextlib import redirect_stdout
+
+    cents = similarity.deterministic_centroids(emb, 8)
+    df = similarity.assign_centroids(emb, cents, strategy="mapside")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_brute_force_partial_matches_window_only(spark, emb):
+    queries = emb.where(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.repartition(8)  # several partitions so the partial stage acts
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in similarity.brute_force_topk(queries, corpus, k=4, partial=True).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in similarity.brute_force_topk(queries, corpus, k=4, partial=False).collect()
+    )
+    assert a == b and len(a) == 7 * 4
