@@ -1,8 +1,11 @@
 """Driver-contract batch 2: corpus-curation + remaining relational operators.
 
 Merged into __spark_entry__.queries()/oracle_sql(). Same rules: every Spark
-callable has a DuckDB twin unless the op is not SQL-expressible (minhash/simhash
-LSH, language-ID) — those ship rows-only and are pinned by tests/.
+callable has a DuckDB twin unless the op is not ANSI-SQL-expressible
+(minhash/simhash LSH, language-ID, IVF) — those ship rows-only under the
+driver gate but carry FULL value-level local oracles in
+tests/test_rowsonly_oracles.py (DuckDB-registered independent UDFs / python
+reference pipelines).
 """
 
 from __future__ import annotations
@@ -54,7 +57,8 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: LSH bucketing; exactness of survivors pinned by test_dedup.py
+    # driver gate rows-only (LSH not ANSI-SQL); full value oracle:
+    # tests/test_rowsonly_oracles.py (independent python LSH pipeline)
     return dedup.embedding_lsh_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.42
     )
@@ -69,8 +73,10 @@ def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: IVF recall is verified against brute force in tests/test_similarity.py;
-    # n_iters=2 runs the Lloyd centroid refinement under the driver gate
+    # driver gate rows-only (IVF not ANSI-SQL); full value oracle:
+    # tests/test_rowsonly_oracles.py (independent seeds->Lloyd->probe reference);
+    # recall-vs-brute pinned in tests/test_similarity.py; n_iters=2 runs the
+    # Lloyd centroid refinement under the driver gate
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -100,7 +106,8 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: trigram-profile classifier (tests pin accuracy on the labeled set)
+    # driver gate rows-only; full value oracle: tests/test_rowsonly_oracles.py
+    # (DuckDB-registered independent trigram classifier)
     docs = load_table(spark, sf_dir, "documents")
     profiles = textstats.build_lang_profiles(docs.limit(200))
     udf = textstats.language_id_udf(profiles)
@@ -108,13 +115,15 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: LSH banding not SQL-expressible (tests pin recall vs exact jaccard)
+    # driver gate rows-only (LSH banding not ANSI-SQL); full value oracle:
+    # tests/test_rowsonly_oracles.py (DuckDB UDFs, independent int64 minhash)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: pinned by tests/test_dedup.py
+    # driver gate rows-only; full value oracle: tests/test_rowsonly_oracles.py
+    # (DuckDB UDFs, independent pure-python-int simhash)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=10)
 
@@ -141,10 +150,11 @@ def _q_j12_signflip_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j12_knn_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J12 leg 2 (functions.R:90-105): points whose sign-flip variants land in
-    NO polygon probe the k nearest polygon centroids for their claimed polygon;
-    a hit reports the distance note. k=3 of 5 polygons so the claimed-match
-    filter is load-bearing."""
+    """J12 leg 2 (functions.R:40-105): points whose sign-flip variants land in
+    no polygon — or only in polygons OTHER than their claimed one — probe the
+    k nearest polygon centroids for their claimed polygon; a hit reports the
+    distance note. k=3 of 5 polygons so the claimed-match filter is
+    load-bearing."""
     from ..operators.spatial import signflip_knn_fallback
 
     m = (

@@ -111,7 +111,8 @@ def _q_a8_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: J2 older-engine variant (match_SI_GBIF.py:43-71)
+    # J2 older-engine variant (match_SI_GBIF.py:43-71); driver gate
+    # rows-only, full value oracle: tests/test_rowsonly_oracles.py
     from ..operators.fuzzy_join import fuzzy_mean_join
     from ..operators.layers import normalize_candidates
 
