@@ -309,6 +309,16 @@ def _q_j1_fuzzy_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship(spark, sf_dir)
 
 
+def _q_streaming_fuzzy_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 incremental mode as a driver row: a real Structured Streaming run
+    (file source, ≥2 micro-batches, foreachBatch reusing the BATCH fuzzy join,
+    availableNow checkpointed drain) whose distinct output equals the batch
+    pipeline's — value-level equality pinned by tests/test_streaming.py."""
+    from mass_georeferencing_spark.streaming.incremental import streaming_fuzzy_contract
+
+    return streaming_fuzzy_contract(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -354,6 +364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_knn_elevation": _q_j6_knn_elevation,
         "j3_pip_aoi": _q_j3_pip_aoi,
         "j4_pip_anti": _q_j4_pip_anti,
+        # rows-only by nature (fuzzy UDF not SQL-expressible); stream==batch
+        # value equality is pinned locally in tests/test_streaming.py
+        "streaming_fuzzy_microbatch": _q_streaming_fuzzy_microbatch,
     }.items()}
 
 

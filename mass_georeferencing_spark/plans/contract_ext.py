@@ -236,7 +236,11 @@ def queries_ext() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "text_quality": _q_text_quality,
-        "text_quality_score": _q_text_quality_score,
+        # text_quality_score retired from the 50-entry driver budget (round 3,
+        # slot given to streaming_fuzzy_microbatch): its unique content is one
+        # F9 CASE band over text_quality's metrics — banding evidence is carried
+        # by j5_distance_band/j6_knn_elevation and the full value-level oracle
+        # lives on in tests/test_textstats.py::test_quality_score_oracle.
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
         "zonal_stats": _q_zonal_stats,
@@ -261,6 +265,29 @@ _COS = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {r})"
 )
+
+
+# Retired from the driver contract (round 3) but kept as the full value-level
+# local oracle for quality_score — tests/test_textstats.py::test_quality_score_oracle.
+QUALITY_SCORE_ORACLE_SQL = f"""
+    SELECT doc_id, round((
+      CASE WHEN n_tokens < 10 THEN 20 WHEN n_tokens < 50 THEN 70
+           WHEN n_tokens <= 5000 THEN 100 ELSE 60 END
+      + CASE WHEN punct_ratio > 0.2 THEN 30 ELSE 100 END
+      + CASE WHEN stopword_ratio < 0.05 THEN 40 WHEN stopword_ratio > 0.6 THEN 50
+             ELSE 100 END) / 3.0, 1) AS quality
+    FROM (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
+             round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                 x -> list_contains({_STOPS_SQL}, x)))
+               / greatest(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE, 4) AS stopword_ratio
+      FROM documents)
+"""
 
 
 def oracle_ext() -> dict[str, str]:
@@ -326,25 +353,6 @@ def oracle_ext() -> dict[str, str]:
                      / greatest(length(text), 1)::DOUBLE, 4) AS digit_ratio,
                    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents
-        """,
-        "text_quality_score": f"""
-            SELECT doc_id, round((
-              CASE WHEN n_tokens < 10 THEN 20 WHEN n_tokens < 50 THEN 70
-                   WHEN n_tokens <= 5000 THEN 100 ELSE 60 END
-              + CASE WHEN punct_ratio > 0.2 THEN 30 ELSE 100 END
-              + CASE WHEN stopword_ratio < 0.05 THEN 40 WHEN stopword_ratio > 0.6 THEN 50
-                     ELSE 100 END) / 3.0, 1) AS quality
-            FROM (
-              SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-                     round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                       / greatest(length(text), 1)::DOUBLE, 4) AS punct_ratio,
-                     round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                         x -> list_contains({_STOPS_SQL}, x)))
-                       / greatest(CASE WHEN trim(text) = '' THEN 0
-                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)::DOUBLE, 4) AS stopword_ratio
-              FROM documents)
         """,
         "text_fingerprint": (
             "SELECT doc_id, "

@@ -68,6 +68,7 @@ def start_incremental_georeference(
     gazetteer: DataFrame,
     out_path: str,
     checkpoint_path: str,
+    max_files_per_trigger: int = 4,
 ):
     """End-to-end incremental mode: stream pages → per-micro-batch reuse of the
     BATCH fuzzy pipeline (foreachBatch = exactly-once sink with the stream's own
@@ -87,9 +88,71 @@ def start_incremental_georeference(
         scored.write.mode("append").parquet(out_path)
 
     return (
-        read_pages_stream(spark, pages_path)
+        read_pages_stream(spark, pages_path, max_files_per_trigger)
         .writeStream.option("checkpointLocation", checkpoint_path)
         .foreachBatch(process_batch)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# stable contract projection: everything per-(group, candidate) deterministic.
+# `no_records` is intentionally EXCLUDED — it counts records per micro-batch,
+# so a group whose pages span batches reports partial counts per batch; every
+# column below depends only on the group key and the candidate row, so the
+# distinct set is identical however the input is sliced into batches.
+STREAM_CONTRACT_COLS = [
+    "recgroup_id",
+    "mention",
+    "state",
+    "uid",
+    "name",
+    "data_source",
+    "score1",
+    "score2",
+    "score_state",
+]
+
+
+def streaming_fuzzy_contract(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Contract query for the incremental mode (SURVEY.md §2.8): materialize the
+    synthetic pages table as a multi-file parquet directory, drive the
+    foreachBatch fuzzy pipeline through ≥2 real micro-batches with
+    ``trigger(availableNow=True)``, and return the distinct
+    (group, candidate, scores) set.
+
+    The distinct projection over :data:`STREAM_CONTRACT_COLS` equals the batch
+    pipeline's distinct output for ANY micro-batch slicing: scores are pure
+    functions of (mention, state, candidate) and grouping is keyed on the same
+    md5 recgroup_id in every batch, so cross-batch repeats collapse
+    (value-level equality pinned by tests/test_streaming.py).
+    """
+    import os
+    import tempfile
+
+    from ..sources import synthetic as syn
+
+    root = tempfile.mkdtemp(prefix="mgs_stream_contract_")
+    pages_path = os.path.join(root, "pages")
+    syn.pages_df(spark, sf_dir).repartition(n_files).write.mode("overwrite").parquet(pages_path)
+    q = start_incremental_georeference(
+        spark,
+        pages_path,
+        syn.gazetteer_df(spark, sf_dir),
+        os.path.join(root, "out"),
+        os.path.join(root, "ck"),
+        max_files_per_trigger,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("incremental stream did not drain within 600s")
+    return (
+        spark.read.parquet(os.path.join(root, "out"))
+        .select(*STREAM_CONTRACT_COLS)
+        .dropDuplicates()
     )

@@ -51,3 +51,28 @@ def test_incremental_pipeline_foreachbatch(spark, pages_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_fuzzy_contract_equals_batch(spark):
+    """Value-level stream==batch equality for the streaming_fuzzy_microbatch
+    contract query: the availableNow foreachBatch run over ≥2 micro-batches
+    must produce exactly the batch fuzzy pipeline's distinct
+    (group, candidate, scores) set — scores bit-identical (same kernels, same
+    inputs), grouping keyed on the same md5 recgroup_id in every batch."""
+    from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_candidate_join
+    from mass_georeferencing_spark.operators.layers import normalize_candidates
+    from mass_georeferencing_spark.operators.record_groups import build_record_groups
+
+    got = incremental.streaming_fuzzy_contract(spark, SF_DIR).collect()
+
+    groups = build_record_groups(incremental.geoparse_stream(syn.pages_df(spark, SF_DIR)))
+    cand = normalize_candidates(syn.gazetteer_df(spark, SF_DIR))
+    want = (
+        fuzzy_candidate_join(groups, cand)
+        .select(*incremental.STREAM_CONTRACT_COLS)
+        .dropDuplicates()
+        .collect()
+    )
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 0

@@ -58,3 +58,27 @@ def test_language_id_roundtrip(spark):
     # synthetic docs share one vocabulary across langs — the classifier can only
     # pick up sampling noise, so demand better-than-chance, not high accuracy
     assert acc >= 0.2, acc
+
+
+def test_quality_score_oracle(spark):
+    """Full value-level oracle for the round-3-retired text_quality_score
+    contract entry (slot given to streaming_fuzzy_microbatch): the driver-era
+    DuckDB SQL, run under the driver-replica comparator."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from mass_georeferencing_spark.plans.contract_ext import (
+        QUALITY_SCORE_ORACLE_SQL,
+        _q_text_quality_score,
+    )
+    from tools.parity import compare, duck_connect
+
+    got = _q_text_quality_score(spark, SF_DIR).toPandas()
+    con = duck_connect(SF_DIR)
+    try:
+        want = con.execute(QUALITY_SCORE_ORACLE_SQL).fetchdf()
+    finally:
+        con.close()
+    errs = compare("text_quality_score", got, want)
+    assert not errs, errs
