@@ -296,53 +296,110 @@ def batch_partial_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
     return out
 
 
+def _batch_lcs(a_list: list[str], b_list: list[str]) -> np.ndarray:
+    """Vectorized LCS lengths. LCS is symmetric, so the shorter string of each
+    pair becomes the bit-vector pattern (maximizes ≤MAXLEN coverage); longer
+    patterns fall back to the exact scalar DP."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.int64)
+    pats: list[str] = []
+    txts: list[str] = []
+    for i in range(n):
+        a, b = a_list[i], b_list[i]
+        if len(a) > len(b):
+            a, b = b, a
+        pats.append(a)
+        txts.append(b)
+    la = np.fromiter((len(s) for s in pats), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in txts), dtype=np.int64, count=n)
+    vec = (la > 0) & (la <= MAXLEN)
+    if vec.any():
+        idx = np.nonzero(vec)[0]
+        a_sub = [pats[i] for i in idx]
+        b_sub = [txts[i] for i in idx]
+        a_codes, a_len, vocab = _encode(a_sub, int(la[idx].max()))
+        b_codes = _encode_with_vocab(b_sub, int(lb[idx].max(initial=1)), vocab)
+        pm = _pattern_masks(a_codes, a_len, len(vocab))
+        mask = (_ONE << a_len.astype(np.uint64)) - _ONE
+        out[idx] = _lcs_scan(pm, mask, a_len, b_codes, lb[idx])
+    for i in np.nonzero(~vec & (la > 0))[0]:
+        out[i] = fuzzy.lcs_len(pats[i], txts[i])
+    return out
+
+
 def batch_token_set_ratio(a_list: list[str], b_list: list[str]) -> np.ndarray:
-    """Vectorized fuzzy.token_set_ratio. Of the three reconstruction ratios,
-    ratio(s0,s1) and ratio(s0,s2) have CLOSED FORMS — s0 (the sorted token
-    intersection) is a prefix of s1/s2, so LCS(s0,sX) = len(s0) and the ratio
-    is 200·len(s0)/(len(s0)+len(sX)). Only ratio(s1,s2) runs the batched DP.
-    Token splits are memoized per distinct string (queries repeat across the
-    pair space)."""
+    """Vectorized fuzzy.token_set_ratio. Exactness-preserving fast paths:
+
+    - ratio(s0,s1) / ratio(s0,s2) have CLOSED FORMS — s0 (the sorted token
+      intersection) is a literal prefix of s1/s2, so LCS(s0,sX) = len(s0);
+    - one token set ⊆ the other ⇒ 100.0 (the empty-diff reconstruction equals
+      s0, and ratio(s0, s0) = 100 caps the max) — no DP;
+    - the s1-vs-s2 DP runs over the DIFF-token tails only: s1 and s2 share the
+      literal prefix s0 + ' ', and LCS(p+x, p+y) = len(p) + LCS(x, y) (a
+      common subsequence never loses by matching the shared prefix greedily),
+      so ratio(s1,s2) = 200·(len(s0)+1+LCS(t1,t2)) / (len(s1)+len(s2)) — the
+      same integers as the full-string DP, hence bit-identical floats, with
+      shorter scans and fewer >MAXLEN scalar fallbacks.
+
+    Token sets and their sorted order are memoized per distinct string
+    (queries repeat across the pair space)."""
     n = len(a_list)
     out = np.zeros(n, dtype=np.float64)
-    pair_a: list[str] = []
-    pair_b: list[str] = []
-    pair_owner: list[int] = []
-    tok_cache: dict[str, set[str]] = {}
+    t1s: list[str] = []
+    t2s: list[str] = []
+    owner: list[int] = []
+    prefs: list[int] = []
+    denoms: list[int] = []
+    cache: dict[str, tuple[set[str], list[str]]] = {}
 
-    def toks(s: str) -> set[str]:
-        t = tok_cache.get(s)
-        if t is None:
-            t = set(s.split())
-            tok_cache[s] = t
-        return t
+    def prep(s: str) -> tuple[set[str], list[str]]:
+        v = cache.get(s)
+        if v is None:
+            st = sorted(set(s.split()))
+            v = (set(st), st)
+            cache[s] = v
+        return v
 
     for i in range(n):
-        ta = toks(a_list[i])
-        tb = toks(b_list[i])
+        ta, sa = prep(a_list[i])
+        tb, sb = prep(b_list[i])
         if not ta and not tb:
             out[i] = 100.0
             continue
         if not ta or not tb:
-            out[i] = 0.0
+            continue  # 0.0
+        dab = [t for t in sa if t not in tb]
+        if not dab:
+            out[i] = 100.0  # ta ⊆ tb
             continue
-        inter = ta & tb
-        d_ab = ta - tb
-        d_ba = tb - ta
-        if inter and not d_ab and not d_ba:
-            out[i] = 100.0
+        dba = [t for t in sb if t not in ta]
+        if not dba:
+            out[i] = 100.0  # tb ⊆ ta
             continue
-        s0 = " ".join(sorted(inter))
-        s1 = (s0 + " " + " ".join(sorted(d_ab))).strip()
-        s2 = (s0 + " " + " ".join(sorted(d_ba))).strip()
-        l0, l1, l2 = len(s0), len(s1), len(s2)
-        r01 = 200.0 * l0 / (l0 + l1) if (l0 + l1) else 100.0
-        r02 = 200.0 * l0 / (l0 + l2) if (l0 + l2) else 100.0
-        out[i] = max(r01, r02)
-        pair_a.append(s1)
-        pair_b.append(s2)
-        pair_owner.append(i)
-    if pair_owner:
-        scores = batch_ratio(pair_a, pair_b)
-        np.maximum.at(out, np.asarray(pair_owner), scores)
+        n_inter = len(sa) - len(dab)
+        t1 = " ".join(dab)
+        t2 = " ".join(dba)
+        if n_inter:
+            l0 = sum(len(t) for t in sa if t in tb) + n_inter - 1
+            p = l0 + 1  # shared literal prefix of s1/s2 is s0 + ' '
+            l1 = p + len(t1)
+            l2 = p + len(t2)
+            r01 = 200.0 * l0 / (l0 + l1)
+            r02 = 200.0 * l0 / (l0 + l2)
+            out[i] = r01 if r01 >= r02 else r02
+        else:
+            p = 0  # s0 empty: s1/s2 ARE the tails; r01 = r02 = 0
+            l1 = len(t1)
+            l2 = len(t2)
+        t1s.append(t1)
+        t2s.append(t2)
+        owner.append(i)
+        prefs.append(p)
+        denoms.append(l1 + l2)
+    if owner:
+        lcs = _batch_lcs(t1s, t2s)
+        sc = 200.0 * (np.asarray(prefs, dtype=np.int64) + lcs) / np.asarray(
+            denoms, dtype=np.float64
+        )
+        np.maximum.at(out, np.asarray(owner), sc)
     return out

@@ -129,14 +129,24 @@ def _score_batch(
     for i in range(0, n, chunk):
         j = min(i + chunk, n)
         s2[i:j] = fuzzy_batch.batch_token_set_ratio(b[i:j], c[i:j])
-        if threshold is None:
-            s1[i:j] = fuzzy_batch.batch_partial_ratio(a[i:j], c[i:j])
-        else:
-            need = np.nonzero(s2[i:j] > threshold - 100.0)[0]
-            if len(need):
-                s1[i + need] = fuzzy_batch.batch_partial_ratio(
-                    [a[i + k] for k in need], [c[i + k] for k in need]
-                )
+    if threshold is None:
+        need = np.arange(n)
+    else:
+        # token_set-first prune: score1 ≤ 100 always, so s2 ≤ threshold − 100
+        # means the pair fails the downstream sum filter either way and its
+        # score1 short-circuits to 0 (same soundness as score_pair's prune)
+        need = np.nonzero(s2 > threshold - 100.0)[0]
+    if len(need):
+        # window-scan cost per chunk is max(len(name)) · max(len(query)) over
+        # the CHUNK: length-sort the surviving pairs so same-length pairs
+        # share chunks and no short pair pays a long pair's window count
+        # (per-pair results are independent — order is a pure perf knob)
+        order = need[np.argsort([len(c[k]) * 64 + len(a[k]) for k in need], kind="stable")]
+        for i in range(0, len(order), chunk):
+            sub = order[i : i + chunk]
+            s1[sub] = fuzzy_batch.batch_partial_ratio(
+                [a[k] for k in sub], [c[k] for k in sub]
+            )
     return pd.DataFrame({"score1": s1, "score2": s2}, index=qf.index)
 
 
