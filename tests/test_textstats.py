@@ -60,6 +60,57 @@ def test_language_id_roundtrip(spark):
     assert acc >= 0.2, acc
 
 
+def test_language_id_numpy_kernel_equivalence(spark):
+    """The int64-trigram-code numpy kernel must classify identically to a
+    direct restatement of the scoring definition (Counter over char trigrams,
+    per-language ``sum min(doc_freq, prof_freq)``, first-sorted-lang ties) —
+    over adversarial unicode: astral plane, combining marks, empty/whitespace,
+    long docs. Arrow transports valid UTF-8 only, so that is the input domain."""
+    from collections import Counter
+
+    rng = __import__("numpy").random.RandomState(7)
+    alphabets = [
+        "abcdefghij ",
+        "αβγδεζ θικλ",  # greek
+        "你好世界文字 ",  # CJK
+        "\U0001F600\U0001F601\U0001F602 a b",  # astral (emoji)
+        "éà ü",  # combining marks
+    ]
+
+    def rand_text(alpha: str, n: int) -> str:
+        return "".join(alpha[i] for i in rng.randint(0, len(alpha), n))
+
+    profiles = {}
+    for li, alpha in enumerate(alphabets[:3]):
+        t = f"  {rand_text(alpha, 400)} ".lower()
+        grams = Counter(t[i : i + 3] for i in range(len(t) - 2))
+        total = sum(grams.values())
+        profiles[f"lang{li}"] = {g: c / total for g, c in grams.items()}
+
+    docs = [rand_text(alphabets[i % len(alphabets)], int(n)) for i, n in enumerate(rng.randint(0, 120, 200))]
+    docs += ["", " ", "  ", "a", "ab", "\U0001F600" * 50, rand_text(alphabets[0], 5000)]
+
+    langs = sorted(profiles)
+
+    def reference(t: str) -> str:
+        t = f"  {t or ''} ".lower()
+        grams = Counter(t[i : i + 3] for i in range(len(t) - 2))
+        total = sum(grams.values()) or 1
+        best, best_score = langs[0], -1.0
+        for lang in langs:
+            prof = profiles[lang]
+            score = sum(min(c / total, prof.get(g, 0.0)) for g, c in grams.items())
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["doc_id", "text"])
+    udf = textstats.language_id_udf(profiles)
+    got = {r.doc_id: r.pred for r in df.select("doc_id", udf(F.col("text")).alias("pred")).collect()}
+    want = {i: reference(d) for i, d in enumerate(docs)}
+    assert got == want
+
+
 def test_quality_score_oracle(spark):
     """Full value-level oracle for the round-3-retired text_quality_score
     contract entry (slot given to streaming_fuzzy_microbatch): the driver-era
