@@ -164,9 +164,16 @@ def _oversized_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> Da
 
 def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
     """Remove rows belonging to oversized LSH buckets via a broadcast anti-join
-    (the oversized-key set is tiny by construction — it's the pathology list)."""
+    (the oversized-key set is tiny by construction — it's the pathology list).
+
+    ``bands`` is persisted here because the cap references it twice — the
+    bucket-count aggregate AND the anti-join probe. Without the cache the
+    expensive signature subtree (mapInPandas / pandas UDF upstream) executes
+    twice per action; the broadcast build of ``hot`` materializes the cache,
+    and the probe then reads it back (measured ~25% of the minhash bench)."""
     if max_bucket is None:
         return bands
+    bands = bands.persist()
     hot = _oversized_buckets(bands, keys, max_bucket).select(*keys)
     return bands.join(F.broadcast(hot), on=keys, how="left_anti")
 
