@@ -1,0 +1,98 @@
+"""Composed training-data preparation dataflow over the documents table.
+
+The brief's training-data operators (language-ID, quality scoring, exact and
+near dedup, token counting, fingerprinting) each exist as standalone contract
+queries; this plan composes them the way a pretraining-corpus job actually
+runs them — one dataflow, filters first, expensive dedup last, every stage
+reusing the operator modules unchanged:
+
+  documents → language-ID (trigram profiles, Arrow UDF)
+            → quality score (pure JVM) → keep quality ≥ min_quality
+            → exact dedup on the normalization-stable fingerprint
+              (keep the lowest doc_id per fingerprint)
+            → MinHash-LSH near-dup pairs (banded, bucket-capped) + exact
+              Jaccard verify → greedy removal: drop every doc that appears
+              as the HIGHER id of a verified pair
+            → annotate survivors (token counts, fingerprint, pred_lang)
+
+Greedy near-dup removal is deliberate: "keep the lowest id of each verified
+pair" is one anti-join, deterministic, and order-independent, where true
+connected-component clustering needs an iterative algorithm. On chains
+(a~b, b~c, NOT a~c) it drops c even though its only surviving neighbor b is
+gone — the standard conservative trade (never keeps a near-dup pair; may
+drop slightly more than CC would).
+
+Scale shape (SCALE.md): the filters run in the scan stage; exact dedup is one
+hash aggregation on the fingerprint; the LSH stages are the capped banded
+joins from operators/dedup.py; the final anti-join keys on doc_id. Nothing
+quadratic, nothing collected to the driver except the bounded lang-profile
+sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_dedup_pairs
+from ..operators.textstats import (
+    bpe_token_count,
+    build_lang_profiles,
+    content_fingerprint,
+    language_id_udf,
+    quality_score,
+)
+from ..sources.tables import load_table
+
+
+def prepare_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 70.0,
+    jaccard_threshold: float = 0.5,
+    lang_profile_sample: int = 200,
+) -> dict[str, DataFrame]:
+    """Run the composed corpus-prep dataflow; returns stage frames keyed by
+    name (``corpus`` is the final cleaned table)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    profiles = build_lang_profiles(docs, max_sample=lang_profile_sample)
+    lang_id = language_id_udf(profiles)
+
+    scored = quality_score(docs).withColumn("pred_lang", lang_id(F.col("text")))
+    kept = scored.where(F.col("quality") >= F.lit(min_quality))
+
+    # exact dedup: one hash aggregation on the normalization-stable
+    # fingerprint; the lowest doc_id represents its group
+    fp = kept.withColumn("fingerprint", content_fingerprint(F.col("text")))
+    reps = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    exact_unique = fp.join(reps, on=["fingerprint", "doc_id"])  # semi by construction
+
+    # near-dup removal: verified pairs over the exact-unique survivors only
+    # (pairs among already-removed exact dups would be wasted work), then one
+    # anti-join dropping the higher id of each verified pair
+    pairs = minhash_dedup_pairs(
+        exact_unique.select("doc_id", "text"), threshold=jaccard_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    corpus = (
+        exact_unique.join(drop, on="doc_id", how="left_anti")
+        .withColumn("bpe_tokens", bpe_token_count(F.col("text")).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "quality",
+            "n_tokens",
+            "bpe_tokens",
+            "fingerprint",
+            "text",
+        )
+    )
+    return {
+        "scored": scored,
+        "kept": kept,
+        "exact_unique": exact_unique,
+        "near_dup_pairs": pairs,
+        "corpus": corpus,
+    }
