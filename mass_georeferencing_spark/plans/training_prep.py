@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_dedup_pairs
+from ..operators.dedup import lsh_dropped_buckets, minhash_dedup_pairs
 from ..operators.textstats import (
     bpe_token_count,
     build_lang_profiles,
@@ -94,5 +94,11 @@ def prepare_training_corpus(
         "kept": kept,
         "exact_unique": exact_unique,
         "near_dup_pairs": pairs,
+        # bounded coverage is never silent (dedup.py module rule): the buckets
+        # the cap removed from near-dup detection, for the job log / metrics
+        # sink — empty on healthy corpora
+        "dropped_buckets": lsh_dropped_buckets(
+            exact_unique.select("doc_id", "text"), method="minhash"
+        ),
         "corpus": corpus,
     }

@@ -123,6 +123,8 @@ def test_training_prep_stages_are_monotone(spark):
     n_eu = stages["exact_unique"].count()
     n_corpus = stages["corpus"].count()
     assert n_kept >= n_eu >= n_corpus > 0
+    # healthy fixture: the bucket cap fired on nothing, and the report says so
+    assert stages["dropped_buckets"].count() == 0
     # greedy removal: no verified pair survives into the corpus
     pairs = stages["near_dup_pairs"].select("id_a", "id_b").collect()
     kept_ids = {r.doc_id for r in stages["corpus"].select("doc_id").collect()}
