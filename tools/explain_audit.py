@@ -158,6 +158,14 @@ def main() -> int:
     print(f"  no_forced_candidate_broadcast: {'OK' if not forced else 'MISSING'}")
     ok &= not forced
 
+    # 10. training-prep corpus: quality metrics/filters are JVM codegen; the
+    #     only Python boundaries are the designed lang-ID ArrowEval and the
+    #     minhash MapInPandas; scans keep column pruning
+    from mass_georeferencing_spark.plans.training_prep import prepare_training_corpus
+
+    corpus = prepare_training_corpus(spark, sf)["corpus"]
+    ok &= audit("training_prep", corpus, ["column_pruning", "arrow_udf", "codegen"])
+
     print(f"\nAUDIT {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
