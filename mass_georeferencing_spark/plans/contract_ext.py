@@ -1,11 +1,16 @@
 """Driver-contract batch 2: corpus-curation + remaining relational operators.
 
 Merged into __spark_entry__.queries()/oracle_sql(). Same rules: every Spark
-callable has a DuckDB twin unless the op is not ANSI-SQL-expressible
-(minhash/simhash LSH, language-ID, IVF) — those ship rows-only under the
-driver gate but carry FULL value-level local oracles in
-tests/test_rowsonly_oracles.py (DuckDB-registered independent UDFs / python
-reference pipelines).
+callable has a DuckDB twin unless the op is not ANSI-SQL-expressible.
+Round 3 narrowed that set to crc32-based kernels only (minhash/simhash LSH —
+DuckDB has no crc32): hyperplane-LSH near-dup, IVF top-k (seeds → Lloyd →
+probe) and trigram language-ID are now expressed in PURE DuckDB SQL
+(hyperplane/centroid math via list_dot_product — empirically the same
+sequential IEEE fold as the JVM `aggregate`; trigram profiles via
+generate_series+substr with the Counter.most_common first-occurrence
+tie-break reproduced as min(doc_ord, pos)). The remaining rows-only queries
+still carry FULL value-level local oracles in tests/test_rowsonly_oracles.py
+(DuckDB-registered independent UDFs / python reference pipelines).
 """
 
 from __future__ import annotations
@@ -57,8 +62,8 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # driver gate rows-only (LSH not ANSI-SQL); full value oracle:
-    # tests/test_rowsonly_oracles.py (independent python LSH pipeline)
+    # full driver oracle (pure SQL: inlined plane literals + list_dot_product);
+    # independent local oracle: tests/test_rowsonly_oracles.py (python pipeline)
     return dedup.embedding_lsh_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.42
     )
@@ -73,8 +78,9 @@ def _q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # driver gate rows-only (IVF not ANSI-SQL); full value oracle:
-    # tests/test_rowsonly_oracles.py (independent seeds->Lloyd->probe reference);
+    # full driver oracle (pure SQL: seeds → 2 unrolled Lloyd CTE rounds →
+    # assignment → probe — list_dot_product cosines, round-9 tie rule);
+    # independent local oracle: tests/test_rowsonly_oracles.py;
     # recall-vs-brute pinned in tests/test_similarity.py; n_iters=2 runs the
     # Lloyd centroid refinement under the driver gate
     emb = load_table(spark, sf_dir, "embeddings")
@@ -106,8 +112,8 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # driver gate rows-only; full value oracle: tests/test_rowsonly_oracles.py
-    # (DuckDB-registered independent trigram classifier)
+    # full driver oracle (pure SQL trigram profiles + overlap-score argmax);
+    # independent local oracle: tests/test_rowsonly_oracles.py (python classifier)
     docs = load_table(spark, sf_dir, "documents")
     profiles = textstats.build_lang_profiles(docs.limit(200))
     udf = textstats.language_id_udf(profiles)
@@ -266,6 +272,175 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), {r})"
 )
 
+# unrounded cosine for filters/orderings that round separately
+_COS_RAW = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _emb_lsh_oracle_sql(
+    threshold: float = 0.42,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    max_bucket: int = dedup.DEFAULT_MAX_BUCKET,
+) -> str:
+    """Pure-SQL twin of dedup.embedding_lsh_near_dup: the seeded hyperplane
+    matrix is inlined as repr() double literals (round-trip exact), sign bits
+    via list_dot_product (empirically the JVM aggregate's sequential IEEE
+    fold), pigeonhole banding via shift/mask, bucket cap via HAVING, exact
+    cosine verify on survivors. Mirrors the operator's parameter defaults."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    width = n_planes // n_bands
+    sig_expr = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    cos = _COS_RAW.format(a="va", b="vb")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {sig_expr} AS sig FROM embeddings),
+banded AS (
+  SELECT vec_id, v, r.range AS band, (sig >> (r.range * {width})) & {(1 << width) - 1} AS band_val
+  FROM e CROSS JOIN range({n_bands}) r),
+capped AS (
+  SELECT b.* FROM banded b
+  JOIN (SELECT band, band_val FROM banded GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) ok
+  USING (band, band_val)),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM capped a JOIN capped b USING (band, band_val)
+  WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round({cos}, 6) AS cosine
+FROM pairs WHERE {cos} >= {threshold}
+"""
+
+
+def _ivf_oracle_sql(
+    k: int = 5, n_centroids: int = 8, nprobe: int = 3, n_iters: int = 2, dim: int = 64
+) -> str:
+    """Pure-SQL twin of similarity.ivf_topk: deterministic md5-ordered seeds,
+    ``n_iters`` unrolled Lloyd rounds (assignment = round-9 cosine argmax CTE;
+    new centroid = per-dim member mean via zipped unnest, empty cluster keeps
+    its previous position), probe the nprobe nearest centroids per query,
+    exact top-k within the probed union. Same round/tie rules as the engine
+    (round(cosine, 9) DESC, id ASC)."""
+    asg = _COS_RAW.format(a="e.v", b="c.v")
+
+    def assign_cte(cent_cte: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY round({asg}, 9) DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cent_cte} c)
+  WHERE rn = 1)"""
+
+    def lloyd_cte(asg_cte: str, prev: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT p.cid, coalesce(m.newv, p.v) AS v
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(mv ORDER BY dim) AS newv FROM (
+      SELECT a.cid, u.dim, avg(u.val) AS mv
+      FROM {asg_cte} a JOIN e ON e.vec_id = a.vec_id,
+           (SELECT unnest(generate_series(1, {dim})) AS dim) dims,
+           LATERAL (SELECT dims.dim AS dim, e.v[dims.dim] AS val) u
+      GROUP BY a.cid, u.dim)
+    GROUP BY cid) m ON m.cid = p.cid)"""
+
+    rounds = []
+    prev = "cents0"
+    for i in range(n_iters):
+        rounds.append(assign_cte(prev, f"asg{i}"))
+        rounds.append(lloyd_cte(f"asg{i}", prev, f"cents{i + 1}"))
+        prev = f"cents{i + 1}"
+    rounds.append(assign_cte(prev, "asg_final"))
+    qcos = _COS_RAW.format(a="q.v", b="c.v")
+    ccos = _COS_RAW.format(a="q.v", b="e.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents0 AS (
+  SELECT vec_id AS cid, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT {n_centroids}),
+{",".join(rounds)},
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY round({qcos}, 9) DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN {prev} c)
+  WHERE rn <= {nprobe})
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         round({ccos}, 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY round({ccos}, 9) DESC, e.vec_id ASC) AS INTEGER) AS rank
+  FROM asg_final a
+  JOIN probes p ON p.cid = a.cid
+  JOIN q ON q.query_id = p.query_id
+  JOIN e ON e.vec_id = a.vec_id)
+WHERE rank <= {k}
+"""
+
+
+# Pure-SQL twin of the language-ID contract query (textstats.build_lang_profiles
+# over documents LIMIT 200 + language_id_udf over all documents). The
+# Counter.most_common(top_n) tie rule — count DESC, first-encountered-first —
+# is reproduced as ORDER BY cnt DESC, min(doc_ord, pos) ASC (heapq.nlargest is
+# documented stable-sort-equivalent, so ties keep insertion = first-occurrence
+# order; the rank-300 boundary IS tied on this data, making the term
+# load-bearing). Docs with no in-vocab grams fall back to the first sorted
+# language, matching np.argmax over all-zero scores.
+_LANG_ID_ORACLE_SQL = """
+WITH sample AS (
+  SELECT lang, '  ' || lower(coalesce(text, '')) || ' ' AS t,
+         row_number() OVER () AS doc_ord
+  FROM (SELECT lang, text FROM documents LIMIT 200)),
+sample_grams AS (
+  SELECT lang, doc_ord, pos, substr(t, pos, 3) AS g
+  FROM sample, LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS pos)),
+counts AS (
+  SELECT lang, g, count(*) AS cnt,
+         min(doc_ord * 10000000 + pos) AS first_seen
+  FROM sample_grams GROUP BY lang, g),
+totals AS (SELECT lang, sum(cnt) AS total FROM counts GROUP BY lang),
+prof AS (
+  SELECT c.lang, c.g, c.cnt / CAST(t.total AS DOUBLE) AS freq
+  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+          ORDER BY cnt DESC, first_seen ASC) AS rk FROM counts) c
+  JOIN totals t ON t.lang = c.lang
+  WHERE c.rk <= 300),
+doc_grams AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, substr(t, pos, 3) AS g
+    FROM (SELECT doc_id, '  ' || lower(coalesce(text, '')) || ' ' AS t FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, length(t) - 2)) AS pos))
+  GROUP BY doc_id, g),
+doc_totals AS (SELECT doc_id, sum(cnt) AS total FROM doc_grams GROUP BY doc_id),
+scores AS (
+  SELECT d.doc_id, p.lang,
+         sum(least(d.cnt / CAST(dt.total AS DOUBLE), p.freq)) AS score
+  FROM doc_grams d
+  JOIN doc_totals dt ON dt.doc_id = d.doc_id
+  JOIN prof p ON p.g = d.g
+  GROUP BY d.doc_id, p.lang),
+best AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM scores)
+  WHERE rn = 1)
+SELECT doc.doc_id, doc.lang,
+       coalesce(b.pred_lang, (SELECT min(lang) FROM prof)) AS pred_lang
+FROM documents doc LEFT JOIN best b ON b.doc_id = doc.doc_id
+"""
+
 
 # Retired from the driver contract (round 3) but kept as the full value-level
 # local oracle for quality_score — tests/test_textstats.py::test_quality_score_oracle.
@@ -359,6 +534,9 @@ def oracle_ext() -> dict[str, str]:
             + textstats.FINGERPRINT_SQL.format(t="text")
             + " AS fingerprint FROM documents"
         ),
+        "text_lang_id": _LANG_ID_ORACLE_SQL,
+        "emb_lsh_near_dup": _emb_lsh_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "zonal_stats": W(
             f"""
             SELECT polygon_id, round(avg(cell_val), 4) AS mean_val,
