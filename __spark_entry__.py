@@ -5,9 +5,12 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json).
 
-Query keys map to SURVEY.md §2 operator IDs. Non-SQL-expressible operators
-(fuzzy scoring J1/J2, minhash/simhash dedup, language-id) ship rows-only here and
-are pinned exactly by tests/ golden suites instead.
+Query keys map to SURVEY.md §2 operator IDs. Only the fuzzy-DP queries
+(J1/J2 — windowed indel dynamic programming) and the streaming row ship
+rows-only here; they are pinned exactly by tests/ golden suites and local
+DuckDB-UDF oracles instead. Everything else — including minhash/simhash LSH
+(recursive-CTE crc32), hyperplane LSH, IVF and language-ID — carries a pure
+DuckDB SQL twin (plans/contract_ext.py).
 """
 
 from __future__ import annotations

@@ -2,15 +2,18 @@
 
 Merged into __spark_entry__.queries()/oracle_sql(). Same rules: every Spark
 callable has a DuckDB twin unless the op is not ANSI-SQL-expressible.
-Round 3 narrowed that set to crc32-based kernels only (minhash/simhash LSH —
-DuckDB has no crc32): hyperplane-LSH near-dup, IVF top-k (seeds → Lloyd →
-probe) and trigram language-ID are now expressed in PURE DuckDB SQL
-(hyperplane/centroid math via list_dot_product — empirically the same
-sequential IEEE fold as the JVM `aggregate`; trigram profiles via
-generate_series+substr with the Counter.most_common first-occurrence
-tie-break reproduced as min(doc_ord, pos)). The remaining rows-only queries
-still carry FULL value-level local oracles in tests/test_rowsonly_oracles.py
-(DuckDB-registered independent UDFs / python reference pipelines).
+Round 3 narrowed that set to the fuzzy DP kernels only: hyperplane-LSH
+near-dup, IVF top-k (seeds → Lloyd → probe) and trigram language-ID are
+expressed in PURE DuckDB SQL (hyperplane/centroid math via list_dot_product —
+empirically the same sequential IEEE fold as the JVM `aggregate`; trigram
+profiles via generate_series+substr with the Counter.most_common
+first-occurrence tie-break reproduced as min(doc_ord, pos)), and the
+crc32-based minhash/simhash LSH pipelines via a recursive-CTE byte fold over
+the IEEE CRC-32 table plus HUGEINT splitmix64 (valid on this ASCII corpus —
+see the preamble comment at :func:`_minhash_oracle_sql`). Rows-only remain
+only j1/j2 (windowed indel DP — no tractable SQL form) and the streaming
+query; those still carry FULL value-level local oracles in
+tests/test_rowsonly_oracles.py / test_flagship_oracle.py / test_streaming.py.
 """
 
 from __future__ import annotations
@@ -121,15 +124,15 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # driver gate rows-only (LSH banding not ANSI-SQL); full value oracle:
-    # tests/test_rowsonly_oracles.py (DuckDB UDFs, independent int64 minhash)
+    # full driver oracle (pure SQL: recursive-CTE crc32 + VALUES permutations);
+    # independent local oracle: tests/test_rowsonly_oracles.py (DuckDB UDFs)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # driver gate rows-only; full value oracle: tests/test_rowsonly_oracles.py
-    # (DuckDB UDFs, independent pure-python-int simhash)
+    # full driver oracle (pure SQL: crc32 fold + HUGEINT splitmix64);
+    # independent local oracle: tests/test_rowsonly_oracles.py (DuckDB UDFs)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=10)
 
@@ -389,6 +392,184 @@ WHERE rank <= {k}
 """
 
 
+def _crc32_table_lit() -> str:
+    """The standard CRC-32 (IEEE 802.3, poly 0xEDB88320) byte table as a DuckDB
+    list literal — lets pure SQL reproduce zlib.crc32 as a byte fold:
+    crc' = (crc >> 8) XOR T[(crc XOR byte) & 255], init/final 0xFFFFFFFF."""
+    t = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        t.append(c)
+    return "[" + ",".join(map(str, t)) + "]"
+
+
+# Shared preamble for the crc32-based dedup oracles. ascii(substr(s,i,1)) is
+# the UTF-8 BYTE only for ASCII text — the synthetic documents corpus is pure
+# ASCII at every SF (verified octet_length(encode(text)) == length(text)), so
+# char-position == byte-position and the SQL fold equals zlib.crc32 exactly.
+# Recursive CTEs carry their payload in the tuple and join ONLY the 256-row
+# table: a join back to a non-recursive CTE inside the recursive term
+# re-evaluates that CTE's subtree once per iteration (measured 12s vs 0.1s).
+def _minhash_oracle_sql(
+    threshold: float = 0.5,
+    k: int = 5,
+    n_bands: int = dedup.N_BANDS,
+    max_bucket: int = dedup.DEFAULT_MAX_BUCKET,
+) -> str:
+    """Pure-SQL twin of dedup.minhash_dedup_pairs: char-k-shingles via
+    generate_series+substr, zlib.crc32 via a recursive byte fold over the
+    IEEE table, 64 universal-hash permutations ((h*a) % p + b) % p as a VALUES
+    relation (every intermediate < 2^63 — no uint64 wraparound needed), band
+    hashes as crc32 over the little-endian int64 chunk bytes, bucket cap via
+    HAVING, exact 5-gram Jaccard verify on survivor pairs."""
+    rows_per_band = dedup.N_PERMS // n_bands
+    n_chunk_bytes = rows_per_band * 8
+    perm_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(dedup._PERM_A, dedup._PERM_B))
+    )
+    p = dedup.MERSENNE_P
+    return f"""
+WITH RECURSIVE
+crctbl AS MATERIALIZED (SELECT r.range AS i, ({_crc32_table_lit()})[r.range + 1] AS v FROM range(256) r),
+perms(pid, a, b) AS MATERIALIZED (FROM (VALUES {perm_rows}) t(pid, a, b)),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(text, pos, {k}) AS s
+  FROM (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS pos)),
+crcfold(s, pos, crc) AS (
+  SELECT s, 0, CAST(4294967295 AS BIGINT) FROM (SELECT DISTINCT s FROM sh)
+  UNION ALL
+  SELECT f.s, f.pos + 1, xor(f.crc >> 8, t.v)
+  FROM crcfold f
+  JOIN crctbl t ON t.i = xor(f.crc, ascii(substr(f.s, f.pos + 1, 1))) & 255
+  WHERE f.pos < length(f.s)),
+shcrc AS MATERIALIZED (
+  SELECT s, xor(crc, 4294967295) AS h
+  FROM crcfold WHERE pos = length(s)),
+chunks AS MATERIALIZED (
+  SELECT doc_id, pid // {rows_per_band} AS band, list(sig ORDER BY pid) AS chunk FROM (
+    SELECT sh.doc_id, p.pid,
+           min(((c.h * p.a) % {p} + p.b) % {p}) AS sig
+    FROM sh JOIN shcrc c USING (s) CROSS JOIN perms p
+    GROUP BY sh.doc_id, p.pid)
+  GROUP BY doc_id, pid // {rows_per_band}),
+bfold(doc_id, band, bytes, pos, crc) AS (
+  SELECT doc_id, band,
+         list_transform(generate_series(0, {n_chunk_bytes - 1}),
+                        j -> (chunk[j // 8 + 1] >> ((j % 8) * 8)) & 255),
+         0, CAST(4294967295 AS BIGINT)
+  FROM chunks
+  UNION ALL
+  SELECT f.doc_id, f.band, f.bytes, f.pos + 1, xor(f.crc >> 8, t.v)
+  FROM bfold f
+  JOIN crctbl t ON t.i = xor(f.crc, f.bytes[f.pos + 1]) & 255
+  WHERE f.pos < {n_chunk_bytes}),
+bands AS MATERIALIZED (
+  SELECT doc_id, band, xor(crc, 4294967295) | (CAST(band AS BIGINT) << 32) AS band_hash
+  FROM bfold WHERE pos = {n_chunk_bytes}),
+capped AS (
+  SELECT b.* FROM bands b
+  JOIN (SELECT band, band_hash FROM bands GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) ok
+  USING (band, band_hash)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - {k - 1}, 1)),
+           i -> substr(text, i, {k}))) AS g
+  FROM documents WHERE length(text) > 0)
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.g, gb.g))
+           / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS j
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b)
+WHERE j >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(
+    max_hamming: int = 10,
+    n_bands: int = 4,
+    max_bucket: int = dedup.DEFAULT_MAX_BUCKET,
+) -> str:
+    """Pure-SQL twin of dedup.simhash_near_pairs: word tokens with
+    multiplicity, zlib.crc32 per distinct word (recursive byte fold), the
+    splitmix64 finalizer in HUGEINT with 64-bit wraparound multiplies split
+    into hi/lo 32-bit halves ((x*c) mod 2^64 = (xlo*c + ((xhi*c mod 2^32)
+    << 32)) mod 2^64), per-bit +/-1 accumulators, pigeonhole banding over the
+    UNSIGNED fingerprint (== Spark shiftrightunsigned), popcount-of-xor
+    verify."""
+    width = 64 // n_bands
+    m = "18446744073709551616"  # 2^64
+
+    def mulmod64(x: str, c: str) -> str:
+        return (
+            f"(((({x}) % 4294967296) * {c} + "
+            f"(((({x}) // 4294967296) * {c}) % 4294967296) * 4294967296) % {m})"
+        )
+
+    z0 = f"((h + 1 + 11400714819323198485::HUGEINT) % {m})"
+    return f"""
+WITH RECURSIVE
+crctbl AS MATERIALIZED (SELECT r.range AS i, ({_crc32_table_lit()})[r.range + 1] AS v FROM range(256) r),
+dw AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY doc_id, w),
+crcfold(w, pos, crc) AS (
+  SELECT w, 0, CAST(4294967295 AS BIGINT) FROM (SELECT DISTINCT w FROM dw)
+  UNION ALL
+  SELECT f.w, f.pos + 1, xor(f.crc >> 8, t.v)
+  FROM crcfold f
+  JOIN crctbl t ON t.i = xor(f.crc, ascii(substr(f.w, f.pos + 1, 1))) & 255
+  WHERE f.pos < length(f.w)),
+wz AS MATERIALIZED (
+  SELECT w, xor(z2m, z2m >> 31) AS z FROM (
+    SELECT w, {mulmod64("xor(z1m, z1m >> 27)", "10723151780598845931::HUGEINT")} AS z2m FROM (
+      SELECT w, {mulmod64("xor(z0, z0 >> 30)", "13787848793156543929::HUGEINT")} AS z1m FROM (
+        SELECT w, {z0} AS z0 FROM (
+          SELECT w, CAST(xor(crc, 4294967295) AS HUGEINT) AS h
+          FROM crcfold WHERE pos = length(w)))))),
+fp AS MATERIALIZED (
+  SELECT doc_id, list_reduce(
+           list_transform(generate_series(1, 64),
+                          i -> CASE WHEN acc[i] > 0 THEN (1::HUGEINT << (i - 1)) ELSE 0::HUGEINT END),
+           (x, y) -> x + y) AS shu
+  FROM (
+    SELECT doc_id, list(s ORDER BY bit) AS acc FROM (
+      SELECT d.doc_id, b.range AS bit,
+             sum(d.cnt * (2 * CAST((z.z >> CAST(b.range AS INTEGER)) & 1 AS BIGINT) - 1)) AS s
+      FROM dw d JOIN wz z USING (w) CROSS JOIN range(64) b
+      GROUP BY d.doc_id, b.range)
+    GROUP BY doc_id)),
+banded AS MATERIALIZED (
+  SELECT doc_id, shu, r.range AS band,
+         CAST((shu >> CAST(r.range * {width} AS INTEGER)) & {(1 << width) - 1} AS BIGINT) AS band_val
+  FROM fp CROSS JOIN range({n_bands}) r),
+capped AS (
+  SELECT b.* FROM banded b
+  JOIN (SELECT band, band_val FROM banded GROUP BY 1, 2 HAVING count(*) <= {max_bucket}) ok
+  USING (band, band_val)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.shu AS sha, b.shu AS shb
+  FROM capped a JOIN capped b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST(bit_count(CAST(xor(sha, shb) AS HUGEINT)) AS INTEGER) AS hamming
+  FROM pairs)
+WHERE hamming <= {max_hamming}
+"""
+
+
 # Pure-SQL twin of the language-ID contract query (textstats.build_lang_profiles
 # over documents LIMIT 200 + language_id_udf over all documents). The
 # Counter.most_common(top_n) tie rule — count DESC, first-encountered-first —
@@ -537,6 +718,8 @@ def oracle_ext() -> dict[str, str]:
         "text_lang_id": _LANG_ID_ORACLE_SQL,
         "emb_lsh_near_dup": _emb_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "dedup_minhash_pairs": _minhash_oracle_sql(),
+        "dedup_simhash_pairs": _simhash_oracle_sql(),
         "zonal_stats": W(
             f"""
             SELECT polygon_id, round(avg(cell_val), 4) AS mean_val,
