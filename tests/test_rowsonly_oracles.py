@@ -66,6 +66,15 @@ def duck():
     con.close()
 
 
+def _reg(duck, name, fn, args, ret):
+    """create_function, idempotent — several tests share the module connection."""
+    try:
+        duck.create_function(name, fn, args, ret)
+    except duckdb.Error:
+        # already registered by an earlier test on this shared connection
+        pass
+
+
 # ---------------------------------------------------------------------------
 # independent kernels
 # ---------------------------------------------------------------------------
@@ -192,13 +201,10 @@ WHERE s > 80.0
 # ---------------------------------------------------------------------------
 
 
-def test_dedup_minhash_pairs_matches_duckdb_udf_oracle(spark, duck):
-    got = QUERIES["dedup_minhash_pairs"](spark, SF_DIR).toPandas()
-    duck.create_function(
-        "band_hash", _minhash_band_hash_ref, ["VARCHAR", "BIGINT"], "BIGINT"
-    )
-    duck.create_function("jacc", _jaccard_ref, ["VARCHAR", "VARCHAR"], "DOUBLE")
-    want = duck.execute("""
+def _want_minhash(duck) -> pd.DataFrame:
+    _reg(duck, "band_hash", _minhash_band_hash_ref, ["VARCHAR", "BIGINT"], "BIGINT")
+    _reg(duck, "jacc", _jaccard_ref, ["VARCHAR", "VARCHAR"], "DOUBLE")
+    return duck.execute("""
 WITH bands AS (
   SELECT * FROM (
     SELECT d.doc_id, r.range AS band, band_hash(d.text, r.range) AS band_hash
@@ -219,6 +225,11 @@ SELECT id_a, id_b, round(j, 4) AS jaccard FROM (
   JOIN documents tb ON tb.doc_id = p.id_b)
 WHERE j >= 0.5
 """).fetchdf()
+
+
+def test_dedup_minhash_pairs_matches_duckdb_udf_oracle(spark, duck):
+    got = QUERIES["dedup_minhash_pairs"](spark, SF_DIR).toPandas()
+    want = _want_minhash(duck)
     assert len(got) > 0
     errs = compare("dedup_minhash_pairs", got, want)
     assert not errs, errs
@@ -229,17 +240,13 @@ WHERE j >= 0.5
 # ---------------------------------------------------------------------------
 
 
-def test_dedup_simhash_pairs_matches_duckdb_udf_oracle(spark, duck):
-    got = QUERIES["dedup_simhash_pairs"](spark, SF_DIR).toPandas()
-    duck.create_function("simhash_ref", _simhash_ref, ["VARCHAR"], "BIGINT")
-    duck.create_function(
-        "bandval", lambda sh, b: ((sh & M64) >> (16 * b)) & 0xFFFF,
-        ["BIGINT", "BIGINT"], "BIGINT",
-    )
-    duck.create_function(
-        "ham", lambda a, b: bin((a ^ b) & M64).count("1"), ["BIGINT", "BIGINT"], "INTEGER"
-    )
-    want = duck.execute("""
+def _want_simhash(duck) -> pd.DataFrame:
+    _reg(duck, "simhash_ref", _simhash_ref, ["VARCHAR"], "BIGINT")
+    _reg(duck, "bandval", lambda sh, b: ((sh & M64) >> (16 * b)) & 0xFFFF,
+         ["BIGINT", "BIGINT"], "BIGINT")
+    _reg(duck, "ham", lambda a, b: bin((a ^ b) & M64).count("1"),
+         ["BIGINT", "BIGINT"], "INTEGER")
+    return duck.execute("""
 WITH fp AS (
   SELECT doc_id, simhash_ref(text) AS sh FROM documents
   WHERE length(trim(text)) > 0),
@@ -258,6 +265,11 @@ SELECT id_a, id_b, hamming FROM (
   SELECT id_a, id_b, ham(sh_a, sh_b) AS hamming FROM pairs)
 WHERE hamming <= 10
 """).fetchdf()
+
+
+def test_dedup_simhash_pairs_matches_duckdb_udf_oracle(spark, duck):
+    got = QUERIES["dedup_simhash_pairs"](spark, SF_DIR).toPandas()
+    want = _want_simhash(duck)
     assert len(got) > 0
     errs = compare("dedup_simhash_pairs", got, want)
     assert not errs, errs
@@ -286,8 +298,7 @@ def _build_profiles_ref(rows: list[tuple[str, str]]) -> dict[str, dict[str, floa
     return profiles
 
 
-def test_text_lang_id_matches_duckdb_udf_oracle(spark, duck):
-    got = QUERIES["text_lang_id"](spark, SF_DIR).toPandas()
+def _want_lang_id(duck) -> pd.DataFrame:
     sample = duck.execute("SELECT lang, text FROM documents LIMIT 200").fetchall()
     profiles = _build_profiles_ref(sample)
     langs = sorted(profiles)
@@ -307,10 +318,15 @@ def test_text_lang_id_matches_duckdb_udf_oracle(spark, duck):
                 best, best_score = lang, score
         return best
 
-    duck.create_function("pred", pred, ["VARCHAR"], "VARCHAR")
-    want = duck.execute(
+    _reg(duck, "pred", pred, ["VARCHAR"], "VARCHAR")
+    return duck.execute(
         "SELECT doc_id, lang, pred(text) AS pred_lang FROM documents"
     ).fetchdf()
+
+
+def test_text_lang_id_matches_duckdb_udf_oracle(spark, duck):
+    got = QUERIES["text_lang_id"](spark, SF_DIR).toPandas()
+    want = _want_lang_id(duck)
     assert len(got) > 0
     errs = compare("text_lang_id", got, want)
     assert not errs, errs
@@ -332,9 +348,7 @@ def _load_embeddings() -> list[tuple[int, list[float]]]:
     return [(int(i), [float(np.float32(x)) for x in v]) for i, v in rows]
 
 
-def test_emb_lsh_near_dup_matches_python_reference(spark):
-    got = QUERIES["emb_lsh_near_dup"](spark, SF_DIR).toPandas()
-
+def _want_emb_lsh() -> pd.DataFrame:
     vecs = dict(_load_embeddings())
     planes = np.random.RandomState(42).standard_normal((16, 64))
     sig = {}
@@ -361,9 +375,14 @@ def test_emb_lsh_near_dup_matches_python_reference(spark):
         cos = _cosine_seq(vecs[a], vecs[b])
         if cos is not None and cos >= 0.42:
             out.append((a, b, round(cos, 6)))
-    want = pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).astype(
+    return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"]).astype(
         {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
     )
+
+
+def test_emb_lsh_near_dup_matches_python_reference(spark):
+    got = QUERIES["emb_lsh_near_dup"](spark, SF_DIR).toPandas()
+    want = _want_emb_lsh()
     assert len(got) > 0
     errs = compare("emb_lsh_near_dup", got, want)
     assert not errs, errs
@@ -388,9 +407,7 @@ def _assign_ref(vecs: dict[int, list[float]], cents: dict[int, list[float]]) -> 
     return out
 
 
-def test_ann_ivf_topk_matches_python_reference(spark):
-    got = QUERIES["ann_ivf_topk"](spark, SF_DIR).toPandas()
-
+def _want_ivf() -> pd.DataFrame:
     vecs = dict(_load_embeddings())
     # deterministic_centroids: 8 lowest (md5(str(id)), id)
     seeds = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:8]
@@ -427,9 +444,41 @@ def test_ann_ivf_topk_matches_python_reference(spark):
         )
         for rank, (vid, cos) in enumerate(scored[:5], start=1):
             rows.append((qid, vid, round(cos, 6), rank))
-    want = pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rank"]).astype(
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rank"]).astype(
         {"query_id": "int64", "vec_id": "int64", "cosine": "float64", "rank": "int32"}
     )
+
+
+def test_ann_ivf_topk_matches_python_reference(spark):
+    got = QUERIES["ann_ivf_topk"](spark, SF_DIR).toPandas()
+    want = _want_ivf()
     assert len(got) > 0
     errs = compare("ann_ivf_topk", got, want)
+    assert not errs, errs
+
+
+# ---------------------------------------------------------------------------
+# pure-SQL driver-gate oracles (plans/contract_ext.py) vs the same references
+# ---------------------------------------------------------------------------
+# The five queries above also carry PURE DuckDB SQL twins under the driver
+# gate (no UDF registration). Closing the triangle — engine == python
+# reference (tests above) AND sql twin == python reference (here) — pins the
+# SQL strings without needing a Spark session, at a second scale factor.
+
+_SQL_TWIN_REFS = {
+    "dedup_minhash_pairs": _want_minhash,
+    "dedup_simhash_pairs": _want_simhash,
+    "text_lang_id": _want_lang_id,
+    "emb_lsh_near_dup": lambda duck: _want_emb_lsh(),
+    "ann_ivf_topk": lambda duck: _want_ivf(),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SQL_TWIN_REFS))
+def test_pure_sql_driver_oracle_matches_reference(name, duck):
+    sql = entry.oracle_sql()[name]
+    got = duck.execute(sql).fetchdf()
+    want = _SQL_TWIN_REFS[name](duck)
+    assert len(got) > 0
+    errs = compare(f"sql_twin:{name}", got, want)
     assert not errs, errs
