@@ -844,7 +844,7 @@ def oracle_ext() -> dict[str, str]:
             """
             SELECT md5(url) AS media_id,
                    CAST(octet_length(html) AS BIGINT) AS n_bytes,
-                   md5(text) AS content_hash
+                   md5(decode(html)) AS content_hash
             FROM pages
             """,
             syn.PAGES_CTE,

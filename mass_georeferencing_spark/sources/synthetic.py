@@ -9,8 +9,10 @@ both Spark (DataFrame API, below) and DuckDB SQL (the ``*_CTE`` strings) so the
 driver's oracle can check each relational operator end-to-end.
 
 Mapping (FIXTURES.md):
-- ``documents``  → ``pages``: url pk, warc_ts, html=text bytes (byte-identical
-  extracted-text invariant), lang.
+- ``documents``  → ``pages``: url pk, warc_ts, html = a REAL rendered page
+  (skeleton + entity-encoded body, operators/extract.py) whose extractor wins
+  the text bytes back exactly (the input_hint's byte-identical invariant,
+  pinned by tests/test_extract.py), lang.
 - page text     → ``mentions``: geoparsed locality strings (first word-pairs) with
   optional inline coordinates — the analog of ``mg_occurrences.locality``
   (database/mass_georef_database.sql:134-226).
@@ -44,28 +46,45 @@ CRAWL_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
 
 
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → pages(url, warc_ts, html, text, lang [, doc_id])."""
+    """documents → pages(url, warc_ts, html, text, lang [, doc_id]).
+
+    ``html`` is a REAL rendered page (skeleton + entity-encoded body —
+    operators/extract.py), so the input_hint's byte-identical-extracted-text
+    invariant is earned by the extractor, not true by construction;
+    tests/test_extract.py pins extract_text_col(html) == text per url."""
+    from ..operators.extract import render_html_col
+
     docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://crawl.example/"), F.col("lang"), F.lit("/"), F.col("doc_id")
+    )
     return docs.select(
-        F.concat(F.lit("https://crawl.example/"), F.col("lang"), F.lit("/"), F.col("doc_id")).alias("url"),
+        url.alias("url"),
         F.timestamp_seconds(F.lit(CRAWL_EPOCH) + F.col("doc_id") * F.lit(60)).alias("warc_ts"),
-        F.col("text").cast("binary").alias("html"),
+        render_html_col(url, F.col("text")).alias("html"),
         F.col("text"),
         F.col("lang"),
         F.col("doc_id"),
     )
 
 
-PAGES_CTE = f"""
+def _pages_cte() -> str:
+    from ..operators.extract import render_sql
+
+    return f"""
 pages AS (
-  SELECT 'https://crawl.example/' || lang || '/' || doc_id AS url,
+  SELECT url,
          make_timestamp(({CRAWL_EPOCH} + doc_id * 60) * 1000000) AS warc_ts,
-         encode(text) AS html,
+         {render_sql('url', 'text')} AS html,
          text,
          lang,
          doc_id
-  FROM documents
+  FROM (SELECT 'https://crawl.example/' || lang || '/' || doc_id AS url, *
+        FROM documents)
 )"""
+
+
+PAGES_CTE = _pages_cte()
 
 
 # ---------------------------------------------------------------------------

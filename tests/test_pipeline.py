@@ -63,9 +63,13 @@ def test_deterministic_rerun(spark, result):
 
 
 def test_extracted_text_byte_identical(spark):
-    # input_hint per-row invariant: decode(html) == text for every url
+    # input_hint per-row invariant: extracting the rendered page bytes wins the
+    # text column back exactly for every url (html is real markup now —
+    # operators/extract.py; the deeper suite lives in tests/test_extract.py)
+    from mass_georeferencing_spark.operators.extract import extract_text_col
+
     pages = syn.pages_df(spark, SF_DIR)
-    bad = pages.where(F.col("html").cast("string") != F.col("text"))
+    bad = pages.where(extract_text_col(F.col("html")) != F.col("text"))
     assert bad.count() == 0
     assert pages.select("url").distinct().count() == pages.count()
 
