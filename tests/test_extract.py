@@ -84,6 +84,40 @@ def test_adversarial_texts_round_trip(spark):
         assert r.got == r.text, (r.text, r.got)
 
 
+def _fuzz_texts(n: int = 500) -> list[str]:
+    """Deterministic fuzz corpus honoring the whitespace precondition: tokens
+    drawn (seeded) from printable ASCII minus whitespace — heavy on markup
+    metacharacters and entity fragments — joined by single spaces."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = [chr(c) for c in range(33, 127)]  # printable, no space
+    spicy = ["&", "<", ">", "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;",
+             "<p>", "</p>", "</script>", "<style>", "\"q\"", "'s'", "&&", "<<>"]
+    out = []
+    for _ in range(n):
+        n_tok = rng.randint(1, 12)
+        toks = []
+        for _ in range(n_tok):
+            if rng.random() < 0.4:
+                toks.append(rng.choice(spicy))
+            else:
+                toks.append("".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))))
+        out.append(" ".join(toks))
+    return out
+
+
+def test_fuzzed_texts_round_trip(spark):
+    texts = _fuzz_texts()
+    df = spark.createDataFrame(
+        [(f"f{i}", t) for i, t in enumerate(texts)], "url string, text string"
+    )
+    rendered = df.withColumn("html", render_html_col(F.col("url"), F.col("text")))
+    bad = rendered.where(extract_text_col(F.col("html")) != F.col("text"))
+    rows = bad.select("text", extract_text_col(F.col("html")).alias("got")).collect()
+    assert not rows, rows[:3]
+
+
 def test_extractor_sql_twin_matches_spark(spark):
     pages = syn.pages_df(spark, SF_DIR)
     got = pages.select(

@@ -166,6 +166,21 @@ def main() -> int:
     corpus = prepare_training_corpus(spark, sf)["corpus"]
     ok &= audit("training_prep", corpus, ["column_pruning", "arrow_udf", "codegen"])
 
+    # 11. html → text extraction: one codegen'd regexp chain over the scan —
+    #     no Python boundary, no shuffle (the 100 TB path is scan-bound)
+    from mass_georeferencing_spark.operators.extract import extract_text_col
+
+    ext = syn.pages_df(spark, sf).select(
+        "url", extract_text_col(F.col("html")).alias("extracted")
+    )
+    ok &= audit("html_extract", ext, ["column_pruning", "codegen"])
+    plan = plan_of(ext)
+    no_python = not CHECKS["arrow_udf"].search(plan)
+    no_shuffle = "Exchange" not in plan
+    print(f"  jvm_only: {'OK' if no_python else 'MISSING'}")
+    print(f"  no_shuffle: {'OK' if no_shuffle else 'MISSING'}")
+    ok &= no_python and no_shuffle
+
     print(f"\nAUDIT {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
