@@ -376,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from mass_georeferencing_spark.plans.contract_ext import oracle_ext
     from mass_georeferencing_spark.plans.contract_ext2 import oracle_ext2
+    from mass_georeferencing_spark.plans.oracle_fuzzy import (
+        flagship_oracle_sql as _flagship_oracle_sql,
+    )
 
     W = syn.with_ctes
     hav_grid = _HAV.format(lat1="m.lat", lon1="m.lon", lat2="g.lat", lon2="g.lon")
@@ -627,6 +630,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT candidate_id, score_state FROM top) GROUP BY candidate_id)""",
         ),
-        # j1_fuzzy_flagship: intentionally no oracle (fuzzy UDF not SQL-expressible;
-        # pinned by tests/test_fuzzy.py + tests/test_pipeline.py goldens)
+        # J1 flagship — pure-SQL value oracle: the fuzzy kernels run as a
+        # recursive-CTE bit-parallel LCS (plans/oracle_fuzzy.py), validated
+        # bit-for-bit vs the engine kernels AND the independent naive-DP
+        # reference (tests/test_fuzzy_sql.py, tests/test_flagship_oracle.py).
+        # Was rows-only through round 2.
+        "j1_fuzzy_flagship": _flagship_oracle_sql(),
     }

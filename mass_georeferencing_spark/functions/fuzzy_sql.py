@@ -1,0 +1,261 @@
+"""Pure-SQL (DuckDB) transcriptions of the fuzzy kernels for the driver oracle.
+
+The driver's correctness gate runs ``oracle_sql()`` strings in DuckDB with no
+Python UDFs, so value-level oracles for the fuzzy queries (J1 flagship, J2
+fuzzy-mean) need ``partial_ratio`` / ``token_set_ratio`` expressed in SQL.
+This module generates CTE blocks that compute them exactly — bit-for-bit
+against :mod:`mass_georeferencing_spark.functions.fuzzy` — using the same
+Allison-Dix bit-parallel LCS recurrence (``v' = ((v + (v & mm)) | (v & ~mm))
+& mask``) run as a ``WITH RECURSIVE`` iteration over the text characters,
+with the needle's per-character match masks packed into BIGINTs.
+
+Reference semantics: rapidfuzz ``fuzz.partial_ratio`` / ``fuzz.token_set_ratio``
+as called by batch_georeferencing/functions.py:272,277,289 — see
+functions/fuzzy.py for the full semantics notes (boundary windows, equal-length
+double scan, empty-string pins).
+
+Validity domain (asserted over the real parquet at every SF by
+tests/test_fuzzy_sql.py):
+
+- strings fit a BIGINT mask (length < 63 — needles here are ≤ ~40 chars);
+  longer needles yield NULL scores so a violation fails the comparator
+  loudly instead of silently mis-scoring;
+- whitespace is plain spaces (``string_split(s, ' ')`` must agree with
+  Python ``str.split()``);
+- scores are IEEE doubles computed with the same operation order as the
+  Python kernels (``100.0 * lcs / n``, ``200.0 * lcs / (n + t)``), so
+  equality is exact, not approximate.
+
+Cost model (why this is oracle-viable): scans are deduplicated globally on
+(needle, window-text), so the recursion advances one character per iteration
+for every distinct scan simultaneously — at sf0.01 the flagship's ~92k pairs
+produce ~335k distinct scans and ~3.5M row-iterations, a few seconds in
+DuckDB. The recursive tuple carries only integers + a ≤40-element BIGINT
+list (mask per text position); carrying strings or a char→mask MAP instead
+was measured 10× slower.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from .textnorm import ENGLISH_STOPWORDS
+
+__all__ = [
+    "fuzzy_score_ctes",
+    "strip_stops_sql",
+    "STOPWORD_LIST_SQL",
+]
+
+# SQL literal list of the (frozen NLTK) English stopwords, for token filters.
+STOPWORD_LIST_SQL = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS) + "]"
+
+
+def strip_stops_sql(col: str) -> str:
+    """SQL equivalent of textnorm's stopword strip:
+    ``' '.join(w for w in s.split() if w not in STOPWORDS)`` (case-sensitive,
+    applied before the ASCII fold). Assumes space-only whitespace (asserted
+    on the real data by tests/test_fuzzy_sql.py)."""
+    return (
+        f"coalesce(array_to_string(list_filter(string_split({col}, ' '), "
+        f"w -> w <> '' AND NOT list_contains({STOPWORD_LIST_SQL}, w)), ' '), '')"
+    )
+
+
+def _orient(pairs_cte: str, out: str) -> str:
+    # needle = shorter string, text = longer (ties: a is needle first; the
+    # equal-length case adds the swapped boundary scans below).
+    return f"""{out} AS MATERIALIZED (
+  SELECT a, b,
+    CASE WHEN length(a) <= length(b) THEN a ELSE b END AS ndl,
+    CASE WHEN length(a) <= length(b) THEN b ELSE a END AS txt
+  FROM (SELECT DISTINCT coalesce(a, '') AS a, coalesce(b, '') AS b FROM {pairs_cte})
+  WHERE length(a) > 0 AND length(b) > 0)"""
+
+
+def _partial_scan_rows(req: str, orient_cte: str) -> str:
+    # One scan row per full-length window of the longer string, plus the
+    # clipped boundary alignments (prefix/suffix scans); equal-length pairs
+    # also get the swapped-direction boundary scans (fuzzy.py:partial_ratio).
+    return f"""
+  SELECT '{req}' AS req, a, b, ndl, substr(txt, s + 1, length(ndl)) AS txt, 'w' AS kind
+  FROM {orient_cte}, LATERAL unnest(range(0, length(txt) - length(ndl) + 1)) AS _w(s)
+  UNION ALL
+  SELECT '{req}', a, b, ndl, substr(txt, 1, length(ndl) - 1), 'b'
+  FROM {orient_cte} WHERE length(ndl) > 1
+  UNION ALL
+  SELECT '{req}', a, b, reverse(ndl), substr(reverse(txt), 1, length(ndl) - 1), 'b'
+  FROM {orient_cte} WHERE length(ndl) > 1
+  UNION ALL
+  SELECT '{req}', a, b, txt, substr(ndl, 1, length(txt) - 1), 'b'
+  FROM {orient_cte} WHERE length(ndl) = length(txt) AND length(txt) > 1
+  UNION ALL
+  SELECT '{req}', a, b, reverse(txt), substr(reverse(ndl), 1, length(txt) - 1), 'b'
+  FROM {orient_cte} WHERE length(ndl) = length(txt) AND length(txt) > 1"""
+
+
+def _ratio_scan_rows(req: str, orient_cte: str) -> str:
+    return f"""
+  SELECT '{req}' AS req, a, b, ndl, txt, 'r' AS kind FROM {orient_cte}"""
+
+
+def _partial_out(out: str, pairs_cte: str, scored_cte: str) -> str:
+    # Empty-string pins (fuzzy.py:partial_ratio): both empty -> 100,
+    # one empty -> 0 (the shorter side is the empty one after orientation).
+    return f"""{out} AS MATERIALIZED (
+  SELECT p.a, p.b,
+    CASE WHEN length(p.a) = 0 AND length(p.b) = 0 THEN 100.0
+         WHEN length(p.a) = 0 OR length(p.b) = 0 THEN 0.0
+         ELSE s.score END AS score
+  FROM (SELECT DISTINCT coalesce(a, '') AS a, coalesce(b, '') AS b FROM {pairs_cte}) p
+  LEFT JOIN {scored_cte} s USING (a, b))"""
+
+
+def _ratio_out(out: str, pairs_cte: str, scored_cte: str) -> str:
+    # ratio('', '') = 100; ratio('', x) = 0 (fuzzy.py:ratio).
+    return f"""{out} AS MATERIALIZED (
+  SELECT p.a, p.b,
+    CASE WHEN length(p.a) = 0 AND length(p.b) = 0 THEN 100.0
+         WHEN length(p.a) = 0 OR length(p.b) = 0 THEN 0.0
+         ELSE s.score END AS score
+  FROM (SELECT DISTINCT coalesce(a, '') AS a, coalesce(b, '') AS b FROM {pairs_cte}) p
+  LEFT JOIN {scored_cte} s USING (a, b))"""
+
+
+def _token_set_preps(tag: str, i: int, pairs_cte: str) -> tuple[str, str, str]:
+    """Token reconstructions for token_set_ratio (fuzzy.py:token_set_ratio):
+    sorted intersection / one-sided differences joined with spaces. Returns
+    (prep ctes, internal ratio-pairs cte name, prep cte name)."""
+    tk = f"{tag}_tk{i}"
+    tr = f"{tag}_tr{i}"
+    prep = f"""{tk} AS MATERIALIZED (
+  SELECT a, b, ta, tb,
+    list_sort(list_intersect(ta, tb)) AS inter,
+    list_sort(list_filter(ta, w -> NOT list_contains(tb, w))) AS dab,
+    list_sort(list_filter(tb, w -> NOT list_contains(ta, w))) AS dba
+  FROM (
+    SELECT a, b,
+      list_distinct(list_filter(string_split(a, ' '), w -> w <> '')) AS ta,
+      list_distinct(list_filter(string_split(b, ' '), w -> w <> '')) AS tb
+    FROM (SELECT DISTINCT coalesce(a, '') AS a, coalesce(b, '') AS b FROM {pairs_cte}))),
+{tr} AS MATERIALIZED (
+  SELECT DISTINCT
+    trim(coalesce(array_to_string(inter, ' '), '') || ' ' || coalesce(array_to_string(dab, ' '), '')) AS a,
+    trim(coalesce(array_to_string(inter, ' '), '') || ' ' || coalesce(array_to_string(dba, ' '), '')) AS b
+  FROM {tk}
+  WHERE len(ta) > 0 AND len(tb) > 0
+    AND NOT (len(inter) > 0 AND len(dab) = 0 AND len(dba) = 0))"""
+    return prep, tr, tk
+
+
+def _token_set_out(out: str, tk: str, ratio_out: str) -> str:
+    # s0 = join(inter) is a PREFIX of both s1 and s2, so ratio(s0, s1) and
+    # ratio(s0, s2) collapse to the closed form 200*len(s0)/(len(s0)+len(sX));
+    # only ratio(s1, s2) needs a real LCS scan.
+    return f"""{out} AS MATERIALIZED (
+  SELECT t.a, t.b,
+    CASE WHEN len(t.ta) = 0 AND len(t.tb) = 0 THEN 100.0
+         WHEN len(t.ta) = 0 OR len(t.tb) = 0 THEN 0.0
+         WHEN len(t.inter) > 0 AND len(t.dab) = 0 AND len(t.dba) = 0 THEN 100.0
+         ELSE greatest(
+           200.0 * length(s0) / (length(s0) + length(s1)),
+           200.0 * length(s0) / (length(s0) + length(s2)),
+           r.score) END AS score
+  FROM (SELECT *,
+          coalesce(array_to_string(inter, ' '), '') AS s0,
+          trim(coalesce(array_to_string(inter, ' '), '') || ' ' || coalesce(array_to_string(dab, ' '), '')) AS s1,
+          trim(coalesce(array_to_string(inter, ' '), '') || ' ' || coalesce(array_to_string(dba, ' '), '')) AS s2
+        FROM {tk}) t
+  LEFT JOIN {ratio_out} r ON r.a = t.s1 AND r.b = t.s2)"""
+
+
+def fuzzy_score_ctes(requests: Sequence[tuple[str, str, str]], tag: str = "fz") -> str:
+    """Emit a CTE block (comma-joined, no leading WITH) computing fuzzy scores.
+
+    ``requests``: (pairs_cte, mode, out_cte) triples. ``pairs_cte`` must expose
+    columns (a, b) — NULLs are treated as ''. ``mode`` is one of ``partial``,
+    ``ratio``, ``token_set``. Each ``out_cte`` gets (a, b, score) with one row
+    per distinct coalesced (a, b).
+
+    The enclosing query must start with ``WITH RECURSIVE``. All requests share
+    ONE globally-deduplicated scan + recursion, so combining requests is much
+    cheaper than concatenating independent blocks.
+    """
+    parts: list[str] = []
+    scan_rows: list[str] = []
+    outs: list[str] = []
+    internal_ratio: list[tuple[str, str, str]] = []  # (req, pairs, scored-name)
+
+    for i, (pairs_cte, mode, out) in enumerate(requests):
+        if mode == "partial":
+            oc = f"{tag}_or{i}"
+            parts.append(_orient(pairs_cte, oc))
+            scan_rows.append(_partial_scan_rows(f"p{i}", oc))
+            outs.append(_partial_out(out, pairs_cte, f"{tag}_sc_p{i}"))
+        elif mode == "ratio":
+            oc = f"{tag}_or{i}"
+            parts.append(_orient(pairs_cte, oc))
+            scan_rows.append(_ratio_scan_rows(f"r{i}", oc))
+            outs.append(_ratio_out(out, pairs_cte, f"{tag}_sc_r{i}"))
+        elif mode == "token_set":
+            prep, tr, tk = _token_set_preps(tag, i, pairs_cte)
+            parts.append(prep)
+            oc = f"{tag}_or{i}"
+            parts.append(_orient(tr, oc))
+            scan_rows.append(_ratio_scan_rows(f"t{i}", oc))
+            internal_ratio.append((f"t{i}", tr, f"{tag}_sc_t{i}"))
+            outs.append(_token_set_out(out, tk, f"{tag}_sc_t{i}"))
+        else:  # pragma: no cover
+            raise ValueError(f"unknown mode {mode!r}")
+
+    # ---- shared scan / masks / recursion -------------------------------
+    scan_union = "\n  UNION ALL\n  ".join(s.strip() for s in scan_rows)
+    parts.append(f"{tag}_scan AS MATERIALIZED (\n  {scan_union})")
+    parts.append(f"""{tag}_pm AS MATERIALIZED (
+  SELECT ndl, map_from_entries(list({{'key': ch, 'value': mm}})) AS pm
+  FROM (SELECT ndl, substr(ndl, i, 1) AS ch,
+               CAST(sum(1::BIGINT << CAST(i - 1 AS INTEGER)) AS BIGINT) AS mm
+        FROM (SELECT DISTINCT ndl FROM {tag}_scan WHERE length(ndl) < 63),
+             LATERAL unnest(range(1, length(ndl) + 1)) AS _p(i)
+        GROUP BY 1, 2)
+  GROUP BY 1)""")
+    parts.append(f"""{tag}_units AS MATERIALIZED (
+  SELECT row_number() OVER () AS uid, u.ndl, u.txt,
+         length(u.ndl) AS n, length(u.txt) AS lt,
+         list_transform(range(1, length(u.txt) + 1),
+           i -> coalesce(p.pm[substr(u.txt, CAST(i AS INTEGER), 1)][1], 0::BIGINT)) AS mms
+  FROM (SELECT DISTINCT ndl, txt FROM {tag}_scan WHERE length(ndl) < 63) u
+  JOIN {tag}_pm p USING (ndl))""")
+    parts.append(f"""{tag}_rec AS (
+  SELECT uid, n, lt, 0 AS pos,
+         CAST((1::BIGINT << CAST(n AS INTEGER)) - 1 AS BIGINT) AS v, mms
+  FROM {tag}_units
+  UNION ALL
+  SELECT uid, n, lt, pos + 1,
+         ((v + (v & mm)) | (v & ~mm)) & ((1::BIGINT << n) - 1), mms
+  FROM (SELECT r.*, r.mms[r.pos + 1] AS mm FROM {tag}_rec r WHERE r.pos < r.lt) _s)""")
+    # per-unit scores: 'w' full window (value at pos = lt), 'b' boundary
+    # (best over every prefix length), 'r' plain ratio (value at pos = lt).
+    parts.append(f"""{tag}_us AS MATERIALIZED (
+  SELECT u.ndl, u.txt, x.sc_w, x.sc_b, x.sc_r
+  FROM (SELECT uid,
+          max(CASE WHEN pos = lt THEN 100.0 * (n - bit_count(v)) / n END) AS sc_w,
+          max(CASE WHEN pos >= 1 THEN 200.0 * (n - bit_count(v)) / (n + pos) END) AS sc_b,
+          max(CASE WHEN pos = lt THEN 200.0 * (n - bit_count(v)) / (n + lt) END) AS sc_r
+        FROM {tag}_rec GROUP BY 1) x
+  JOIN {tag}_units u USING (uid))""")
+
+    # per-request (a, b) score rollups from the shared unit scores
+    for i, (pairs_cte, mode, out) in enumerate(requests):
+        req = {"partial": f"p{i}", "ratio": f"r{i}", "token_set": f"t{i}"}[mode]
+        parts.append(f"""{tag}_sc_{req} AS MATERIALIZED (
+  SELECT s.a, s.b,
+         max(CASE WHEN s.kind = 'w' THEN u.sc_w
+                  WHEN s.kind = 'b' THEN u.sc_b
+                  ELSE u.sc_r END) AS score
+  FROM {tag}_scan s JOIN {tag}_us u USING (ndl, txt)
+  WHERE s.req = '{req}'
+  GROUP BY 1, 2)""")
+
+    parts.extend(outs)
+    return ",\n".join(parts)

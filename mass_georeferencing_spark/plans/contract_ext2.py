@@ -213,6 +213,7 @@ def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_ext2() -> dict[str, str]:
     from ..functions.cells import cell_oracle_sql, cell_parent_oracle_sql
+    from .oracle_fuzzy import fuzzy_mean_oracle_sql
 
     W = syn.with_ctes
     lookup_values = ", ".join(f"('{k}', '{v}')" for k, v in sorted(LANG_NAMES.items()))
@@ -222,6 +223,9 @@ def oracle_ext2() -> dict[str, str]:
     c2 = cell_oracle_sql("lat", "lon", 2)
     c4 = cell_oracle_sql("lat", "lon", 4)
     return {
+        # J2 — pure-SQL value oracle (recursive-CTE bit-parallel LCS; see
+        # plans/oracle_fuzzy.py). Was rows-only through round 2.
+        "j2_fuzzy_mean": fuzzy_mean_oracle_sql(),
         "interval_join": W(
             """
             SELECT p.url, d.uid

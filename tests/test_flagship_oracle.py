@@ -149,3 +149,14 @@ def test_flagship_matches_duckdb_udf_oracle(spark):
     assert len(got) > 0
     errs = compare("j1_fuzzy_flagship", got, want)
     assert not errs, errs
+
+    # the DRIVER-GATE oracle (pure SQL, no UDFs — recursive-CTE bit-parallel
+    # LCS, plans/oracle_fuzzy.py) must agree with both the engine and this
+    # independent-UDF restatement
+    from mass_georeferencing_spark.plans.oracle_fuzzy import flagship_oracle_sql
+
+    pure = con.execute(flagship_oracle_sql()).fetchdf()
+    errs = compare("j1_fuzzy_flagship_pure_sql_vs_udf", pure, want)
+    assert not errs, errs
+    errs = compare("j1_fuzzy_flagship_pure_sql_vs_engine", got, pure)
+    assert not errs, errs

@@ -195,6 +195,14 @@ WHERE s > 80.0
     errs = compare("j2_fuzzy_mean", got, want)
     assert not errs, errs
 
+    # the DRIVER-GATE oracle (pure SQL, recursive-CTE LCS — no UDFs) must
+    # agree with both the engine and this independent-UDF restatement
+    pure = duck.execute(entry.oracle_sql()["j2_fuzzy_mean"]).fetchdf()
+    errs = compare("j2_pure_sql_vs_udf", pure, want)
+    assert not errs, errs
+    errs = compare("j2_pure_sql_vs_engine", got, pure)
+    assert not errs, errs
+
 
 # ---------------------------------------------------------------------------
 # dedup_minhash_pairs — DuckDB UDF oracle
