@@ -233,9 +233,15 @@ def main() -> None:
             t0 = time.time()
             _noop(builder())
             cold[name] = round(time.time() - t0, 3)
+            # Spark's CacheManager resolves .persist() by canonicalized plan,
+            # so a second build of the same query would silently read the
+            # warmup's cached intermediates instead of re-executing. Clear it:
+            # the timed run must do ALL the work, only the workers/JIT stay warm.
+            spark.catalog.clearCache()
         t0 = time.time()
         _noop(builder())
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {

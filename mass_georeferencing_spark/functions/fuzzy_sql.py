@@ -99,20 +99,11 @@ def _ratio_scan_rows(req: str, orient_cte: str) -> str:
   SELECT '{req}' AS req, a, b, ndl, txt, 'r' AS kind FROM {orient_cte}"""
 
 
-def _partial_out(out: str, pairs_cte: str, scored_cte: str) -> str:
-    # Empty-string pins (fuzzy.py:partial_ratio): both empty -> 100,
-    # one empty -> 0 (the shorter side is the empty one after orientation).
-    return f"""{out} AS MATERIALIZED (
-  SELECT p.a, p.b,
-    CASE WHEN length(p.a) = 0 AND length(p.b) = 0 THEN 100.0
-         WHEN length(p.a) = 0 OR length(p.b) = 0 THEN 0.0
-         ELSE s.score END AS score
-  FROM (SELECT DISTINCT coalesce(a, '') AS a, coalesce(b, '') AS b FROM {pairs_cte}) p
-  LEFT JOIN {scored_cte} s USING (a, b))"""
-
-
-def _ratio_out(out: str, pairs_cte: str, scored_cte: str) -> str:
-    # ratio('', '') = 100; ratio('', x) = 0 (fuzzy.py:ratio).
+def _score_out(out: str, pairs_cte: str, scored_cte: str) -> str:
+    # Empty-string pins, identical for partial and ratio (fuzzy.py): both
+    # empty -> 100, one empty -> 0 (the shorter side is the empty one after
+    # orientation). Non-empty pairs missing from the scan output (possible
+    # only outside the length<63 domain) surface as NULL — fail-loud.
     return f"""{out} AS MATERIALIZED (
   SELECT p.a, p.b,
     CASE WHEN length(p.a) = 0 AND length(p.b) = 0 THEN 100.0
@@ -157,6 +148,7 @@ def _token_set_out(out: str, tk: str, ratio_out: str) -> str:
     CASE WHEN len(t.ta) = 0 AND len(t.tb) = 0 THEN 100.0
          WHEN len(t.ta) = 0 OR len(t.tb) = 0 THEN 0.0
          WHEN len(t.inter) > 0 AND len(t.dab) = 0 AND len(t.dba) = 0 THEN 100.0
+         WHEN r.score IS NULL THEN NULL
          ELSE greatest(
            200.0 * length(s0) / (length(s0) + length(s1)),
            200.0 * length(s0) / (length(s0) + length(s2)),
@@ -191,12 +183,12 @@ def fuzzy_score_ctes(requests: Sequence[tuple[str, str, str]], tag: str = "fz") 
             oc = f"{tag}_or{i}"
             parts.append(_orient(pairs_cte, oc))
             scan_rows.append(_partial_scan_rows(f"p{i}", oc))
-            outs.append(_partial_out(out, pairs_cte, f"{tag}_sc_p{i}"))
+            outs.append(_score_out(out, pairs_cte, f"{tag}_sc_p{i}"))
         elif mode == "ratio":
             oc = f"{tag}_or{i}"
             parts.append(_orient(pairs_cte, oc))
             scan_rows.append(_ratio_scan_rows(f"r{i}", oc))
-            outs.append(_ratio_out(out, pairs_cte, f"{tag}_sc_r{i}"))
+            outs.append(_score_out(out, pairs_cte, f"{tag}_sc_r{i}"))
         elif mode == "token_set":
             prep, tr, tk = _token_set_preps(tag, i, pairs_cte)
             parts.append(prep)

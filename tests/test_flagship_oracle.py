@@ -14,8 +14,6 @@ import sys
 import unicodedata
 from pathlib import Path
 
-import duckdb
-
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from fuzzy_reference import partial_ratio_ref, token_set_ratio_ref
@@ -26,7 +24,7 @@ from mass_georeferencing_spark.operators.scoring import DISTANCE_BAND_SQL
 from mass_georeferencing_spark.plans.contract_ext import _HAV
 from mass_georeferencing_spark.plans.pipeline import flagship
 from mass_georeferencing_spark.sources import synthetic as syn
-from tools.parity import compare
+from tools.parity import compare, duck_connect
 
 from conftest import SF_DIR
 
@@ -134,12 +132,7 @@ WHERE m.mean_score IS NULL OR m.mean_score >= 80
 def test_flagship_matches_duckdb_udf_oracle(spark):
     got = flagship(spark, SF_DIR).toPandas()
 
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    con = duck_connect(SF_DIR)
     con.create_function("fold", _fold, ["VARCHAR"], "VARCHAR")
     con.create_function("strip_stops", _strip_stops, ["VARCHAR"], "VARCHAR")
     con.create_function("partial_ratio", _pr, ["VARCHAR", "VARCHAR"], "DOUBLE")

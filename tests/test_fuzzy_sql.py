@@ -33,6 +33,8 @@ from mass_georeferencing_spark.functions.fuzzy import (
 from mass_georeferencing_spark.functions.fuzzy_sql import fuzzy_score_ctes
 from mass_georeferencing_spark.sources import synthetic as syn
 
+from tools.parity import duck_connect
+
 from conftest import SF_DIR
 
 ADVERSARIAL = [
@@ -47,14 +49,6 @@ ADVERSARIAL = [
 ]
 
 
-def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-    return con
 
 
 def _run_modes(con, pairs_sql_prefix: str, pairs_cte: str):
@@ -89,7 +83,7 @@ def _assert_matches(rows, fns, rel_tol: float = 0.0):
 
 
 def test_sql_kernels_match_engine_on_real_pairs():
-    con = _duck(SF_DIR)
+    con = duck_connect(SF_DIR)
     ctes = ",".join(c.strip() for c in (syn.PAGES_CTE, syn.MENTIONS_CTE, syn.GAZETTEER_CTE))
     prefix = f"""
 WITH RECURSIVE {ctes},
@@ -139,7 +133,7 @@ def _fold(s: str) -> str:
 def test_corpus_in_sql_kernel_domain(sf):
     """The pure-SQL J1/J2 oracles drop the NFD fold and split on single
     spaces; this pins the preconditions on the actual driver parquet."""
-    con = _duck(f"/root/testdata/sf{sf}")
+    con = duck_connect(f"/root/testdata/sf{sf}")
     ctes = ",".join(c.strip() for c in (syn.PAGES_CTE, syn.MENTIONS_CTE, syn.GAZETTEER_CTE))
     rows = con.execute(f"""
 WITH {ctes},
