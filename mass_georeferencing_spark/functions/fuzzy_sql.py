@@ -37,7 +37,7 @@ was measured 10× slower.
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from .textnorm import ENGLISH_STOPWORDS
 

@@ -125,6 +125,28 @@ def test_sql_kernels_match_independent_reference(adv_con):
     )
 
 
+def test_sql_kernels_match_engine_on_seeded_random_pairs():
+    """500 seeded-random ASCII pairs (lengths 0-24, small alphabet to force
+    repeats/overlaps, spaces included so token paths engage) — one DuckDB
+    query, compared bit-exact against the engine kernels."""
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    alphabet = list("ab cde")
+    pairs = []
+    for _ in range(500):
+        la, lb = rng.randint(0, 25), rng.randint(0, 25)
+        a = "".join(rng.choice(alphabet, size=la))
+        b = "".join(rng.choice(alphabet, size=lb))
+        pairs.append((a, b))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE advp (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO advp VALUES (?, ?)", pairs)
+    rows = _run_modes(con, "WITH RECURSIVE", "advp")
+    assert len(rows) == 3 * len(set(pairs))
+    _assert_matches(rows, {"pr": partial_ratio, "ts": token_set_ratio, "r": ratio})
+
+
 def _fold(s: str) -> str:
     return unicodedata.normalize("NFD", s or "").encode("ascii", "ignore").decode("utf-8")
 
