@@ -241,7 +241,11 @@ def main() -> None:
         t0 = time.time()
         _noop(builder())
         timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        if warmup:
+            # not under WARMUP=0: the round-1/2 cold protocol let persisted
+            # intermediates stay resident across suite queries — keep that
+            # reproduction exact
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -176,7 +176,6 @@ def fuzzy_score_ctes(requests: Sequence[tuple[str, str, str]], tag: str = "fz") 
     parts: list[str] = []
     scan_rows: list[str] = []
     outs: list[str] = []
-    internal_ratio: list[tuple[str, str, str]] = []  # (req, pairs, scored-name)
 
     for i, (pairs_cte, mode, out) in enumerate(requests):
         if mode == "partial":
@@ -195,7 +194,6 @@ def fuzzy_score_ctes(requests: Sequence[tuple[str, str, str]], tag: str = "fz") 
             oc = f"{tag}_or{i}"
             parts.append(_orient(tr, oc))
             scan_rows.append(_ratio_scan_rows(f"t{i}", oc))
-            internal_ratio.append((f"t{i}", tr, f"{tag}_sc_t{i}"))
             outs.append(_token_set_out(out, tk, f"{tag}_sc_t{i}"))
         else:  # pragma: no cover
             raise ValueError(f"unknown mode {mode!r}")

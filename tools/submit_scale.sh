@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.."
 rm -f /tmp/mgs.zip
 zip -qr /tmp/mgs.zip mass_georeferencing_spark
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
-AMP=${SPARK_GRAFT_AMPLIFY:-24}
+AMP=${SPARK_GRAFT_AMPLIFY:-96}
 {
   echo ""
   echo "| master | result |"
