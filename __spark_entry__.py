@@ -5,12 +5,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash → CORRECTNESS_r{N}.json).
 
-Query keys map to SURVEY.md §2 operator IDs. Only the fuzzy-DP queries
-(J1/J2 — windowed indel dynamic programming) and the streaming row ship
-rows-only here; they are pinned exactly by tests/ golden suites and local
-DuckDB-UDF oracles instead. Everything else — including minhash/simhash LSH
-(recursive-CTE crc32), hyperplane LSH, IVF and language-ID — carries a pure
-DuckDB SQL twin (plans/contract_ext.py).
+Query keys map to SURVEY.md §2 operator IDs. Every entry — including the
+fuzzy-DP queries (J1/J2, via the recursive-CTE bit-parallel LCS oracle in
+plans/oracle_fuzzy.py), the streaming micro-batch row (same kernels over the
+deterministic batch-equivalent set), minhash/simhash LSH (recursive-CTE
+crc32), hyperplane LSH, IVF and language-ID — carries a pure DuckDB SQL twin
+(plans/contract_ext.py, plans/oracle_fuzzy.py), so the driver gate is
+50/50 full value.
 """
 
 from __future__ import annotations
@@ -367,8 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_knn_elevation": _q_j6_knn_elevation,
         "j3_pip_aoi": _q_j3_pip_aoi,
         "j4_pip_anti": _q_j4_pip_anti,
-        # rows-only by nature (fuzzy UDF not SQL-expressible); stream==batch
-        # value equality is pinned locally in tests/test_streaming.py
+        # full-value driver row since round 4: the drained stream's distinct
+        # output is the deterministic batch-equivalent set, so the pure-SQL
+        # fuzzy oracle (plans/oracle_fuzzy.py) value-checks it; stream==batch
+        # equality is additionally pinned in tests/test_streaming.py
         "streaming_fuzzy_microbatch": _q_streaming_fuzzy_microbatch,
     }.items()}
 
@@ -378,6 +381,9 @@ def oracle_sql() -> dict[str, str]:
     from mass_georeferencing_spark.plans.contract_ext2 import oracle_ext2
     from mass_georeferencing_spark.plans.oracle_fuzzy import (
         flagship_oracle_sql as _flagship_oracle_sql,
+    )
+    from mass_georeferencing_spark.plans.oracle_fuzzy import (
+        streaming_fuzzy_oracle_sql as _streaming_oracle_sql,
     )
 
     W = syn.with_ctes
@@ -636,4 +642,7 @@ def oracle_sql() -> dict[str, str]:
         # reference (tests/test_fuzzy_sql.py, tests/test_flagship_oracle.py).
         # Was rows-only through round 2.
         "j1_fuzzy_flagship": _flagship_oracle_sql(),
+        # streaming contract row — same pure-SQL kernels over the deterministic
+        # batch-equivalent distinct set (was rows-only through round 3)
+        "streaming_fuzzy_microbatch": _streaming_oracle_sql(),
     }

@@ -26,7 +26,22 @@ from ..functions.fuzzy_sql import fuzzy_score_ctes, strip_stops_sql
 from ..operators.scoring import DISTANCE_BAND_SQL
 from ..sources import synthetic as syn
 
-__all__ = ["flagship_oracle_sql", "fuzzy_mean_oracle_sql"]
+__all__ = [
+    "flagship_oracle_sql",
+    "fuzzy_mean_oracle_sql",
+    "streaming_fuzzy_oracle_sql",
+]
+
+# Fail-loud domain guard (ADVICE r3): a NULL score means a needle hit the SQL
+# kernel's len>=63 domain limit. Silently dropping such rows through a
+# `score > threshold` predicate would surface as an opaque row-count mismatch
+# in the driver gate; raising here names the cause instead.
+_NULL_GUARD = (
+    "CASE WHEN {nulls} THEN error("
+    "'fuzzy SQL oracle: NULL score — needle length >= 63 is outside the "
+    "bit-parallel kernel domain (functions/fuzzy_sql.py); regenerate the "
+    "corpus or widen the kernel') ELSE {pred} END"
+)
 
 
 def _hav() -> str:
@@ -93,12 +108,14 @@ surv AS (
   FROM blocked d
   JOIN sc1 s1 ON s1.a = d.mention_folded AND s1.b = d.name_folded
   JOIN sc2 s2 ON s2.a = d.mention_nostop_folded AND s2.b = d.name_folded
-  WHERE s1.score + s2.score > 140),
+  WHERE {_NULL_GUARD.format(nulls="s1.score IS NULL OR s2.score IS NULL",
+                            pred="s1.score + s2.score > 140")}),
 joined AS (
   SELECT g.recgroup_id, g.lang, g.mention, g.state, g.group_lat, g.group_lon,
          c.uid, c.name, c.stateprovince, c.data_source, c.lon, c.lat,
          c.no_features, s.score1, s.score2,
-         st.score AS score_state,
+         CAST({_NULL_GUARD.format(nulls="st.score IS NULL", pred="st.score")}
+              AS DOUBLE) AS score_state,
          md5(concat_ws('|', g.recgroup_id, c.uid, c.data_source)) AS candidate_id
   FROM grp g
   JOIN surv s ON s.lang = g.lang
@@ -168,9 +185,85 @@ p2 AS MATERIALIZED (
   FROM grp g JOIN cand c ON c.lang = g.lang),
 {fuzzy}
 SELECT recgroup_id, uid, round(s, 2) AS score FROM (
-  SELECT g.recgroup_id, c.uid, (a1.score + a2.score) / 2.0 AS s
+  SELECT g.recgroup_id, c.uid,
+         (CAST({_NULL_GUARD.format(nulls="a1.score IS NULL OR a2.score IS NULL",
+                                   pred="a1.score")} AS DOUBLE)
+          + a2.score) / 2.0 AS s
   FROM grp g JOIN cand c ON c.lang = g.lang
   JOIN sloc a1 ON a1.a = g.mention_folded AND a1.b = c.name_folded
   JOIN sst a2 ON a2.a = g.state AND a2.b = c.stateprovince_folded)
 WHERE s > 80.0
+"""
+
+
+def streaming_fuzzy_oracle_sql() -> str:
+    """§2.8 streaming contract as one pure-SQL DuckDB query (no UDFs).
+
+    The ``streaming_fuzzy_microbatch`` driver row drains a real availableNow
+    file-source stream whose foreachBatch reuses the BATCH fuzzy join; its
+    distinct projection over ``STREAM_CONTRACT_COLS`` equals the batch
+    pipeline's distinct output for ANY micro-batch slicing (every column is a
+    pure function of the group key and the candidate row —
+    streaming/incremental.py:99-114, equality pinned by
+    tests/test_streaming.py::test_stream_fuzzy_contract_equals_batch).
+    This restates that deterministic batch-equivalent set with the same
+    recursive-CTE fuzzy kernels the J1 flagship oracle uses, so the driver
+    gate can value-check the streaming row (rows-only through round 3).
+
+    Skeleton: record groups over the geoparsed mentions (same extraction the
+    stream's geoparse_stream applies — sources/synthetic.py MENTIONS_CTE),
+    normalized gazetteer candidates (normalize_candidates: fold = identity on
+    the ASCII corpus, NULL stateprovince → ''), blocked distinct-pair scoring,
+    threshold score1 + score2 > 140 (functions.py:292), state similarity,
+    DISTINCT over the contract projection.
+    """
+    strip = strip_stops_sql("mention")
+    ctes = ",".join(
+        c.strip() for c in (syn.PAGES_CTE, syn.MENTIONS_CTE, syn.GAZETTEER_CTE)
+    )
+    fuzzy = fuzzy_score_ctes(
+        [
+            ("ploc", "partial", "sc1"),
+            ("ptok", "token_set", "sc2"),
+            ("pstate", "partial", "scst"),
+        ],
+        tag="sm",
+    )
+    guard = _NULL_GUARD.format(
+        nulls="s1.score IS NULL OR s2.score IS NULL OR st.score IS NULL",
+        pred="s1.score + s2.score > 140",
+    )
+    return f"""
+WITH RECURSIVE {ctes},
+grp AS MATERIALIZED (
+  SELECT md5(concat_ws('|', lang, mention, state)) AS recgroup_id,
+         lang, mention, state,
+         mention AS mention_folded,
+         {strip} AS mention_nostop_folded
+  FROM (SELECT DISTINCT lang, mention, coalesce(state, '') AS state
+        FROM mentions
+        WHERE lower(mention) NOT IN ('none', 'unknown', 'no locality data'))),
+cand AS MATERIALIZED (
+  SELECT uid, name, data_source, lang,
+         name AS name_folded,
+         coalesce(stateprovince, '') AS stateprovince_folded
+  FROM gazetteer),
+ploc AS MATERIALIZED (
+  SELECT DISTINCT g.mention_folded AS a, c.name_folded AS b
+  FROM grp g JOIN cand c ON c.lang = g.lang),
+ptok AS MATERIALIZED (
+  SELECT DISTINCT g.mention_nostop_folded AS a, c.name_folded AS b
+  FROM grp g JOIN cand c ON c.lang = g.lang),
+pstate AS MATERIALIZED (
+  SELECT DISTINCT g.state AS a, c.stateprovince_folded AS b
+  FROM grp g JOIN cand c ON c.lang = g.lang),
+{fuzzy}
+SELECT DISTINCT g.recgroup_id, g.mention, g.state, c.uid, c.name, c.data_source,
+       s1.score AS score1, s2.score AS score2, st.score AS score_state
+FROM grp g
+JOIN cand c ON c.lang = g.lang
+JOIN sc1 s1 ON s1.a = g.mention_folded AND s1.b = c.name_folded
+JOIN sc2 s2 ON s2.a = g.mention_nostop_folded AND s2.b = c.name_folded
+JOIN scst st ON st.a = g.state AND st.b = c.stateprovince_folded
+WHERE {guard}
 """
