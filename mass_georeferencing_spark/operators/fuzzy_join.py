@@ -330,16 +330,75 @@ def fuzzy_mean_join(
     state_cand_col: str = "stateprovince_folded",
     method: str = "partial",
     threshold: float = 80.0,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """J2 — the older engine's variant (old/shiny/match_localities/match_SI_GBIF.py:43-71):
     score = (locality_sim + state_sim) / 2, keep > threshold; method switches
-    partial_ratio vs token_set_ratio (:55,64)."""
+    partial_ratio vs token_set_ratio (:55,64).
+
+    ``dedup_pairs=True`` (default) gives J2 the same scale treatment as J1
+    (:func:`fuzzy_candidate_join`): both similarity kernels score DISTINCT
+    string pairs, never the blocked groups × candidates product —
+
+    1. locality scores run over distinct (block key, query, name) with the
+       query side explicitly repartitioned and the distinct name side
+       broadcast, so the UDF stage is fully parallel (AQE's byte-based
+       coalescing never sees it) and nothing pair-product-sized shuffles;
+    2. state scores run over the tiny distinct (state, province) cross;
+    3. the mean + threshold apply on the distinct 4-tuple space — orders of
+       magnitude smaller than the result on repetitive web text — and only
+       surviving tuples join back (groups ⋈ tuples ⋈ candidates, both
+       join-backs AQE-decided).
+
+    Identical results to the blocked product by construction (the score is a
+    pure function of the four strings; tests/test_fuzzy_join_paths.py pins
+    it). Join keys must be non-NULL — build_record_groups coalesces ``state``
+    and normalize_candidates folds NULL names/provinces to ''.
+    ``dedup_pairs=False`` keeps the raw blocked product as the equivalence
+    baseline (scores every result row; a pair-explosion at scale).
+    """
     block_keys = block_keys or ["lang"]
     udf = partial_ratio_udf if method == "partial" else token_set_ratio_udf
-    blocked = groups.join(candidates, on=block_keys)
-    scored = blocked.withColumn(
-        "score",
-        (udf(F.col(query_col), F.col(name_col)) + udf(F.col(state_query_col), F.col(state_cand_col)))
-        / F.lit(2.0),
+    if not dedup_pairs:
+        blocked = groups.join(candidates, on=block_keys)
+        scored = blocked.withColumn(
+            "score",
+            (udf(F.col(query_col), F.col(name_col)) + udf(F.col(state_query_col), F.col(state_cand_col)))
+            / F.lit(2.0),
+        )
+        return scored.where(F.col("score") > F.lit(threshold))
+
+    parallelism = groups.sparkSession.sparkContext.defaultParallelism
+    q_d = groups.select(*block_keys, query_col, state_query_col).distinct()
+    n_d = candidates.select(*block_keys, name_col, state_cand_col).distinct()
+    # locality kernel over distinct (block, query) × distinct (block, name):
+    # generate-in-place above an explicit repartition (NOTES.md lesson 1 — a
+    # compute-heavy UDF over a small-byte set must not be byte-coalesced)
+    loc_scored = (
+        q_d.select(*block_keys, query_col)
+        .distinct()
+        .repartition(2 * parallelism)
+        .join(F.broadcast(n_d.select(*block_keys, name_col).distinct()), on=block_keys)
+        .withColumn("_sloc", udf(F.col(query_col), F.col(name_col)))
     )
-    return scored.where(F.col("score") > F.lit(threshold))
+    # state kernel over the tiny distinct (state, province) cross
+    st_scored = (
+        groups.select(state_query_col)
+        .distinct()
+        .crossJoin(F.broadcast(candidates.select(state_cand_col).distinct()))
+        .withColumn("_sst", udf(F.col(state_query_col), F.col(state_cand_col)))
+    )
+    # distinct 4-tuple space: attach each name's provinces and each query's
+    # states (JVM-only joins), combine the two score maps, threshold BEFORE
+    # any join-back
+    surviving = (
+        loc_scored.join(n_d, on=[*block_keys, name_col])
+        .join(q_d, on=[*block_keys, query_col])
+        .join(F.broadcast(st_scored), on=[state_query_col, state_cand_col])
+        .withColumn("score", (F.col("_sloc") + F.col("_sst")) / F.lit(2.0))
+        .where(F.col("score") > F.lit(threshold))
+        .drop("_sloc", "_sst")
+    )
+    return groups.join(surviving, on=[*block_keys, query_col, state_query_col]).join(
+        candidates, on=[*block_keys, name_col, state_cand_col]
+    )

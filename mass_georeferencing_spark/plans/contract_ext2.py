@@ -111,8 +111,9 @@ def _q_a8_topic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J2 older-engine variant (match_SI_GBIF.py:43-71); driver gate
-    # rows-only, full value oracle: tests/test_rowsonly_oracles.py
+    # J2 older-engine variant (match_SI_GBIF.py:43-71); full-value driver
+    # oracle (plans/oracle_fuzzy.py), independent check in
+    # tests/test_rowsonly_oracles.py; dedup-before-score scale path default
     from ..operators.fuzzy_join import fuzzy_mean_join
     from ..operators.layers import normalize_candidates
 

@@ -47,6 +47,28 @@ def test_empty_sides(spark):
     assert fuzzy_candidate_join(groups, no_cands).count() == 0
 
 
+def test_fuzzy_mean_dedup_vs_blocked_product_equal(spark):
+    # J2's dedup-before-score scale path is a pure physical rewrite of the
+    # blocked-product baseline (score is a pure function of the four strings)
+    from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_mean_join
+
+    groups = build_record_groups(syn.mentions_df(spark, SF_DIR))
+    cands = normalize_candidates(syn.gazetteer_df(spark, SF_DIR))
+
+    def key(r):
+        return (r.recgroup_id, r.uid, round(r.score, 6))
+
+    for method in ("partial", "token_set"):
+        dedup = sorted(
+            map(key, fuzzy_mean_join(groups, cands, method=method, dedup_pairs=True).collect())
+        )
+        blocked = sorted(
+            map(key, fuzzy_mean_join(groups, cands, method=method, dedup_pairs=False).collect())
+        )
+        assert dedup == blocked
+        assert len(dedup) > 0
+
+
 def test_shuffle_dedup_path_equal(spark):
     # 'shuffle' dedup-pairs (no broadcast of the name side) is a pure physical
     # rewrite of the broadcast dedup path
