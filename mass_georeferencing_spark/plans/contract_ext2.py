@@ -64,12 +64,29 @@ def _q_f10_f11_staging_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_f12_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F12: ROUND(AVG(score),1) + 5-decimal lat/lng rounding (app.R:1484-1485)
+    # F12: ROUND(AVG(score),1) + 5-decimal lat/lng rounding (app.R:1484-1485).
+    # Retired from the 50-slot driver contract in round 4 (trivial builtin)
+    # to make room for f7_verbatim_country; its value oracle lives on in
+    # tests/test_countrycode.py::test_f12_rounding_oracle.
     m = syn.mentions_df(spark, sf_dir).where(F.col("lat").isNotNull())
     return m.groupBy("lang").agg(
         F.round(F.avg("lat"), 5).alias("avg_lat"),
         F.round(F.avg("lon"), 5).alias("avg_lon"),
         F.round(F.avg(F.length("mention")), 1).alias("avg_mention_len"),
+    )
+
+
+def _q_f7_verbatim_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 full reference semantics (cleanup_countrycode.py:85-122): verbatim
+    country strings → alpha-2 codes via cleanup + name/common-name lookup +
+    '/'/' or '/' and ' multi-value splitting, with the reference's unguarded
+    per-verbatim UPDATE overwrite preserved."""
+    from ..operators.countrycode import normalize_country_codes
+
+    occ = syn.occ_country_df(spark, sf_dir)
+    countries = syn.countries_df(spark, sf_dir)
+    return normalize_country_codes(occ, countries).select(
+        "occ_id", "countryverbatim", "countrycode"
     )
 
 
@@ -121,6 +138,61 @@ def _q_j2_fuzzy_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = normalize_candidates(syn.gazetteer_df(spark, sf_dir))
     out = fuzzy_mean_join(groups, cands, method="partial", threshold=80.0)
     return out.select("recgroup_id", "uid", F.round("score", 2).alias("score"))
+
+
+# F12 oracle retired from the driver contract (round 4) but still pinned by
+# tests/test_countrycode.py::test_f12_rounding_oracle
+F12_ROUNDING_ORACLE = syn.with_ctes(
+    """
+    SELECT lang, round(avg(lat), 5) AS avg_lat, round(avg(lon), 5) AS avg_lon,
+           round(avg(length(mention)), 1) AS avg_mention_len
+    FROM mentions WHERE lat IS NOT NULL GROUP BY lang
+    """,
+    syn.PAGES_CTE,
+    syn.MENTIONS_CTE,
+)
+
+# F7 full-semantics oracle: cleanup → case-insensitive name/common-name
+# lookup → separator-precedence split → ','-joined codes in part order →
+# unguarded per-verbatim overwrite (cleanup_countrycode.py:85-122)
+F7_VERBATIM_ORACLE = syn.with_ctes(
+    r"""
+    SELECT o.occ_id, o.countryverbatim,
+           coalesce(m.resolved, o.countrycode) AS countrycode
+    FROM occ_country o
+    LEFT JOIN vmap m ON m.v = o.countryverbatim
+    """,
+    syn.COUNTRIES_CTE,
+    syn.OCC_COUNTRY_CTE,
+    r"""cleaned AS (
+      SELECT v, lower(trim(regexp_replace(v, '[^a-zA-Z /]', '', 'g'))) AS low
+      FROM (SELECT DISTINCT countryverbatim AS v FROM occ_country
+            WHERE countrycode IS NULL AND countryverbatim IS NOT NULL)),
+    direct AS (
+      SELECT c.v, c.low, coalesce(n.alpha_2, cm.alpha_2) AS direct_code
+      FROM cleaned c
+      LEFT JOIN countries n ON lower(n.name) = c.low
+      LEFT JOIN countries cm ON lower(cm.common_name) = c.low),
+    parts AS (
+      SELECT d.v, t.i AS pos, trim(d.arr[t.i]) AS p
+      FROM (SELECT v, CASE WHEN low LIKE '%/%' THEN string_split(low, '/')
+                           WHEN low LIKE '% or %' THEN string_split(low, ' or ')
+                           WHEN low LIKE '% and %' THEN string_split(low, ' and ')
+                           ELSE [low] END AS arr
+            FROM direct WHERE direct_code IS NULL) d,
+           LATERAL unnest(range(1, len(d.arr) + 1)) AS t(i)),
+    split_codes AS (
+      SELECT v, string_agg(code, ',' ORDER BY pos) AS split_code FROM (
+        SELECT p.v, p.pos, coalesce(n.alpha_2, cm.alpha_2) AS code
+        FROM parts p
+        LEFT JOIN countries n ON lower(n.name) = p.p
+        LEFT JOIN countries cm ON lower(cm.common_name) = p.p)
+      WHERE code IS NOT NULL GROUP BY v),
+    vmap AS (
+      SELECT d.v, coalesce(d.direct_code, s.split_code) AS resolved
+      FROM direct d LEFT JOIN split_codes s ON s.v = d.v
+      WHERE coalesce(d.direct_code, s.split_code) IS NOT NULL)""",
+)
 
 
 HIST_DIMS_CTE = """
@@ -198,8 +270,10 @@ def queries_ext2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _q_tile_pyramid,
         "adaptive_cells": _q_adaptive_cells,
         "f7_code_lookup": _q_f7_code_lookup,
+        "f7_verbatim_country": _q_f7_verbatim_country,
         "f10_f11_staging_cast": _q_f10_f11_staging_cast,
-        "f12_rounding": _q_f12_rounding,
+        # f12_rounding retired in round 4 (trivial builtin; pinned in
+        # tests/test_countrycode.py) — slot given to f7_verbatim_country
         "w3_ranked_display": _q_w3_ranked_display,
         "a5_group_counts": _q_a5_group_counts,
         "a7_export_manifest": _q_a7_export_manifest,
@@ -292,15 +366,7 @@ def oracle_ext2() -> dict[str, str]:
                           ELSE strftime(ts, '%Y-%m-%d') END AS raw_date
               FROM events)
         """,
-        "f12_rounding": W(
-            """
-            SELECT lang, round(avg(lat), 5) AS avg_lat, round(avg(lon), 5) AS avg_lon,
-                   round(avg(length(mention)), 1) AS avg_mention_len
-            FROM mentions WHERE lat IS NOT NULL GROUP BY lang
-            """,
-            syn.PAGES_CTE,
-            syn.MENTIONS_CTE,
-        ),
+        "f7_verbatim_country": F7_VERBATIM_ORACLE,
         # w3_ranked_display: ordering-sensitive; driver hashes order-insensitively,
         # so values match — include for completeness
         "w3_ranked_display": W(

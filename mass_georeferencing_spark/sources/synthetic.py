@@ -296,6 +296,108 @@ us_state_abbreviations AS (
 
 
 # ---------------------------------------------------------------------------
+# countries + verbatim-country occurrences — the F7 cleanup input
+# (database/cleanup_countrycode.py:85-122). countries plays pycountry's dim
+# (name / optional common_name / alpha-2 code); occ_country carries the messy
+# verbatim strings exercising every reference branch: punctuation cleanup,
+# direct-name hit, common-name fallback, '/'/' or '/' and ' multi-value
+# splits, unmatched residue, the pre-coded row the unguarded UPDATE overwrites,
+# and NULL verbatim.
+# ---------------------------------------------------------------------------
+
+
+# testdata nation names are NATION_<k> — the digits would vanish in the F7
+# cleanup ([^a-zA-Z /]) and every lookup would miss, so derive a digit-free
+# lowercase name per nation: 'nation ' + letter(k)
+_COUNTRY_NAME_L = "concat('nation ', chr(CAST(97 + n_nationkey % 25 AS INTEGER)))"
+
+
+def countries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → countries(alpha_2, name, common_name) — the pycountry analog.
+    name is capitalize(lowercase name); every even nation also gets a
+    common_name ('The ' + lowercase name), so both lookup indices are hit."""
+    nation = load_table(spark, sf_dir, "nation")
+    name_l = F.expr(_COUNTRY_NAME_L)
+    name_cap = F.concat(F.upper(F.substring(name_l, 1, 1)), F.substring(name_l, 2, 1 << 20))
+    return nation.select(
+        F.concat(F.lit("C"), F.col("n_nationkey").cast("string")).alias("alpha_2"),
+        name_cap.alias("name"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.concat(F.lit("The "), name_l)).alias(
+            "common_name"
+        ),
+    )
+
+
+COUNTRIES_CTE = f"""
+countries AS (
+  SELECT 'C' || n_nationkey AS alpha_2,
+         upper(substr({_COUNTRY_NAME_L}, 1, 1)) || substr({_COUNTRY_NAME_L}, 2) AS name,
+         CASE WHEN n_nationkey % 2 = 0
+              THEN 'The ' || {_COUNTRY_NAME_L} END AS common_name
+  FROM nation
+)"""
+
+
+def occ_country_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → occ_country(occ_id, countryverbatim, countrycode): verbatim
+    country strings by branch (occ_id % 8), two deterministic nation picks."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nm = nation.select(
+        F.col("n_nationkey").alias("_nk"),
+        F.expr(_COUNTRY_NAME_L).alias("_nl"),
+    )
+    k = F.col("c_custkey")
+    j = (
+        cust.select(k.alias("occ_id"))
+        .join(F.broadcast(nm.withColumnRenamed("_nl", "name_a")),
+              (F.col("occ_id") * 3) % 25 == F.col("_nk"))
+        .drop("_nk")
+        .join(F.broadcast(nm.withColumnRenamed("_nl", "name_b")),
+              (F.col("occ_id") * 5 + 1) % 25 == F.col("_nk"))
+        .drop("_nk")
+    )
+    m = F.col("occ_id") % 8
+    verbatim = (
+        F.when(m == 0, F.concat(F.upper(F.col("name_a")), F.lit("!!9")))
+        .when(m == 1, F.concat(F.lit("The "), F.col("name_a"), F.lit("123")))
+        .when(m == 2, F.concat(F.col("name_a"), F.lit(" / "), F.upper(F.col("name_b"))))
+        .when(m == 3, F.concat(F.col("name_a"), F.lit(" or "), F.col("name_b")))
+        .when(m == 4, F.concat(F.col("name_a"), F.lit(" and atlantis")))
+        .when(m == 5, F.lit("terra incognita 99"))
+        .when(m == 6, F.concat(F.upper(F.col("name_a")), F.lit("!!9")))
+    )
+    return j.select(
+        "occ_id",
+        verbatim.alias("countryverbatim"),
+        F.when(m == 6, F.lit("ZZ")).alias("countrycode"),
+    )
+
+
+OCC_COUNTRY_CTE = f"""
+occ_country AS (
+  SELECT occ_id,
+         CASE occ_id % 8
+           WHEN 0 THEN upper(name_a) || '!!9'
+           WHEN 1 THEN 'The ' || name_a || '123'
+           WHEN 2 THEN name_a || ' / ' || upper(name_b)
+           WHEN 3 THEN name_a || ' or ' || name_b
+           WHEN 4 THEN name_a || ' and atlantis'
+           WHEN 5 THEN 'terra incognita 99'
+           WHEN 6 THEN upper(name_a) || '!!9'
+         END AS countryverbatim,
+         CASE WHEN occ_id % 8 = 6 THEN 'ZZ' END AS countrycode
+  FROM (
+    SELECT c_custkey AS occ_id, na._nl AS name_a, nb._nl AS name_b
+    FROM customer
+    JOIN (SELECT n_nationkey, {_COUNTRY_NAME_L} AS _nl FROM nation) na
+      ON (c_custkey * 3) % 25 = na.n_nationkey
+    JOIN (SELECT n_nationkey, {_COUNTRY_NAME_L} AS _nl FROM nation) nb
+      ON (c_custkey * 5 + 1) % 25 = nb.n_nationkey)
+)"""
+
+
+# ---------------------------------------------------------------------------
 # aoi — rectangular project polygons (bbox-checkable by the oracle)
 # ---------------------------------------------------------------------------
 
