@@ -155,16 +155,31 @@ def knn_join_broadcast(
     target_id_col: str = "target_id",
     target_lat: str = "target_lat",
     target_lon: str = "target_lon",
+    max_broadcast_targets: int = 2_000_000,
 ) -> DataFrame:
     """Exact kNN for SMALL target sets (≲10^6): targets broadcast once, each
     query batch computes the full (batch × targets) haversine matrix in numpy
     and takes the top-k — one map-side pass over the queries, zero shuffles.
     The right tool when the 'raster' side is a regional grid; use
-    :func:`knn_join` (ring expansion) when both sides are web-scale."""
+    :func:`knn_join` (ring expansion) when both sides are web-scale.
+
+    ``max_broadcast_targets`` is a fail-loud guard on the driver collect: the
+    target count is probed with a bounded ``limit(n+1).count()`` (never
+    materializing more than the cap) and an oversized set raises, naming the
+    scale path, instead of OOMing the driver on a mis-routed call."""
     import numpy as np
 
     from ..functions.geo import haversine_m
 
+    probe = targets.select(target_id_col).limit(max_broadcast_targets + 1).count()
+    if probe > max_broadcast_targets:
+        raise ValueError(
+            f"knn_join_broadcast: target set exceeds max_broadcast_targets="
+            f"{max_broadcast_targets} (driver collect + per-executor broadcast "
+            f"would not fit); use knn_join (cell-ring expansion) for web-scale "
+            f"target sets, or raise the cap explicitly if the deployment's "
+            f"driver/executor memory allows it"
+        )
     rows = targets.select(target_id_col, target_lat, target_lon).collect()
     t_ids = [r[target_id_col] for r in rows]
     t_lat = np.array([r[target_lat] for r in rows], dtype=np.float64)

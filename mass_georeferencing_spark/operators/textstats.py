@@ -134,6 +134,11 @@ def winnowing_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+# hard ceiling on the profile-training collect (fail-loud seam guard):
+# ~10^6 short docs ≈ low-GB driver-side — anything above is a mis-routed call
+MAX_PROFILE_SAMPLE = 1_000_000
+
+
 def build_lang_profiles(
     docs: DataFrame,
     text_col: str = "text",
@@ -145,7 +150,18 @@ def build_lang_profiles(
     Driver-side over a collected sample — profiles are tiny and broadcast.
     ``max_sample`` caps the collect INSIDE the function (safe by construction:
     a caller handing in a 10^9-row table still collects at most ``max_sample``
-    rows; pass a pre-limited/pre-sampled frame to control which rows train)."""
+    rows; pass a pre-limited/pre-sampled frame to control which rows train).
+    The cap itself is bounded fail-loud: a caller-supplied ``max_sample``
+    above :data:`MAX_PROFILE_SAMPLE` raises instead of silently attempting a
+    driver-OOM-sized toPandas — profiles converge long before that; train on
+    a stratified pre-sample if more coverage is genuinely needed."""
+    if max_sample > MAX_PROFILE_SAMPLE:
+        raise ValueError(
+            f"build_lang_profiles: max_sample={max_sample} exceeds the driver "
+            f"materialization guard MAX_PROFILE_SAMPLE={MAX_PROFILE_SAMPLE}; "
+            f"trigram profiles converge on ~10^4 docs per language — pass a "
+            f"pre-sampled frame instead of raising the collect size"
+        )
     sample = docs.select(lang_col, text_col).limit(max_sample).toPandas()
     profiles: dict[str, dict[str, float]] = {}
     for lang, grp in sample.groupby(lang_col):

@@ -121,6 +121,25 @@ def test_banding_monotone(spark):
     assert [row2[f"e{i}"] for i in range(5)] == [100, 90, 80, 70, 20]
 
 
+def test_knn_broadcast_oversized_targets_fail_loud(spark):
+    # the driver-collect seam must raise (naming the ring-expansion scale
+    # path), never OOM, when a mis-routed call hands it a web-scale target set
+    import pytest
+
+    from mass_georeferencing_spark.operators.knn import knn_join_broadcast
+
+    q = spark.createDataFrame([("q0", 1.0, 2.0)], ["query_id", "lat", "lon"])
+    t = spark.range(100).select(
+        F.concat(F.lit("t"), F.col("id")).alias("target_id"),
+        (F.col("id") % 90).cast("double").alias("target_lat"),
+        (F.col("id") % 180).cast("double").alias("target_lon"),
+    )
+    with pytest.raises(ValueError, match="knn_join"):
+        knn_join_broadcast(q, t, k=1, max_broadcast_targets=50)
+    # under the cap the same call succeeds
+    assert knn_join_broadcast(q, t, k=1, max_broadcast_targets=100).count() == 1
+
+
 def test_knn_broadcast_matches_ring(spark):
     from mass_georeferencing_spark.operators.knn import knn_join_broadcast
 

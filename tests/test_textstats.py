@@ -49,6 +49,16 @@ def test_winnowing_fingerprints():
     assert textstats.winnowing_fingerprints("") == []
 
 
+def test_lang_profile_sample_guard(spark):
+    # the profile-training collect is bounded fail-loud: an over-cap
+    # max_sample raises instead of attempting a driver-OOM-sized toPandas
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="MAX_PROFILE_SAMPLE"):
+        textstats.build_lang_profiles(docs, max_sample=textstats.MAX_PROFILE_SAMPLE + 1)
+
+
 def test_language_id_roundtrip(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     profiles = textstats.build_lang_profiles(docs)
