@@ -224,8 +224,14 @@ def main() -> None:
     # hidden; `value` is the steady-state suite wall. Disable with
     # SPARK_GRAFT_BENCH_WARMUP=0 to reproduce the round-1/2 cold protocol.
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    # Median-of-N steady-state (default 5): this VM shows up to ~2x
+    # run-to-run variance at local[32], so single samples carry that bar —
+    # every sample is published alongside the median (VERDICT r3 #5).
+    # WARMUP=0 reproduces the round-1/2 single-run cold protocol exactly.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")) if warmup else 1
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name, builder in suite.items():
         if only_set and name not in only_set:
             continue
@@ -238,14 +244,20 @@ def main() -> None:
             # warmup's cached intermediates instead of re-executing. Clear it:
             # the timed run must do ALL the work, only the workers/JIT stay warm.
             spark.catalog.clearCache()
-        t0 = time.time()
-        _noop(builder())
-        timings[name] = round(time.time() - t0, 3)
-        if warmup:
-            # not under WARMUP=0: the round-1/2 cold protocol let persisted
-            # intermediates stay resident across suite queries — keep that
-            # reproduction exact
-            spark.catalog.clearCache()
+        runs: list[float] = []
+        for _ in range(repeats):
+            t0 = time.time()
+            _noop(builder())
+            runs.append(round(time.time() - t0, 3))
+            if warmup:
+                # not under WARMUP=0: the round-1/2 cold protocol let persisted
+                # intermediates stay resident across suite queries — keep that
+                # reproduction exact
+                spark.catalog.clearCache()
+        samples[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2] if len(runs) % 2 else round(
+            sum(sorted(runs)[len(runs) // 2 - 1 : len(runs) // 2 + 1]) / 2, 3
+        )
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -261,7 +273,9 @@ def main() -> None:
         else None,
     }
     if warmup:
-        result["protocol"] = "steady_state_after_1_warmup"
+        result["protocol"] = f"steady_state_median_of_{repeats}_after_1_warmup"
+        result["repeats"] = repeats
+        result["query_samples"] = samples
         result["cold_queries"] = cold
         result["cold_wall"] = round(sum(cold.values()), 3)
     print(json.dumps(result))
