@@ -181,6 +181,26 @@ def main() -> int:
     print(f"  no_shuffle: {'OK' if no_shuffle else 'MISSING'}")
     ok &= no_python and no_shuffle
 
+    # 12. J2 fuzzy-mean dedup path: kernels score distinct pairs only (Arrow
+    #     boundaries at the two designed points), score maps broadcast back,
+    #     relational glue codegen'd
+    from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_mean_join
+
+    j2 = fuzzy_mean_join(groups, cands)
+    ok &= audit("fuzzy_mean_dedup", j2, ["broadcast_join", "arrow_udf", "codegen"])
+
+    # 13. F7 verbatim-country normalization: pure JVM (cleanup regex, split,
+    #     code assembly all codegen) — dim lookups and the verbatim map are
+    #     broadcast joins, zero Python boundaries
+    from mass_georeferencing_spark.operators.countrycode import normalize_country_codes
+
+    f7 = normalize_country_codes(syn.occ_country_df(spark, sf), syn.countries_df(spark, sf))
+    ok &= audit("f7_countrycode", f7, ["broadcast_join", "codegen"])
+    plan = plan_of(f7)
+    no_python = not CHECKS["arrow_udf"].search(plan)
+    print(f"  jvm_only: {'OK' if no_python else 'MISSING'}")
+    ok &= no_python
+
     print(f"\nAUDIT {'PASS' if ok else 'FAIL'}")
     return 0 if ok else 1
 
