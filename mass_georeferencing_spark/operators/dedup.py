@@ -312,6 +312,84 @@ def minhash_dedup_pairs(
     return ngram_jaccard_verify(pairs, docs, threshold=threshold)
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components over the verified near-dup pair graph: returns
+    ``(doc_id, component_id)`` for every id appearing in ``pairs``, with
+    ``component_id`` = the component's minimum id — the transitive-closure
+    alternative to the greedy higher-id drop (plans/training_prep.py).
+
+    Algorithm: distributed min-label propagation with pointer jumping. Each
+    round every node takes ``min(own label, neighbors' labels)``, then
+    compresses one pointer hop (``label ← label's label``), so convergence is
+    O(log diameter) rounds, not O(diameter) — a 10^6-node duplicate chain
+    settles in ~20 rounds. Labels are monotone non-increasing and bounded by
+    the component minimum, so the fixpoint is exact. Per round: one shuffle
+    join + aggregation on the EDGE relation (never anything pair-product
+    sized) and a ``localCheckpoint`` to truncate the iterative lineage (same
+    treatment as the kNN ring expansion). ``max_rounds`` is a fail-loud rail:
+    2^rounds bounds the reachable path length, so 40 rounds cover any
+    conceivable component; hitting the rail raises rather than returning a
+    half-merged labeling.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
+    labels = (
+        edges.select(F.col("_src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(labels, edges["_dst"] == labels["doc_id"])
+            .groupBy("_src")
+            .agg(F.min("component_id").alias("_nl"))
+        )
+        stepped = (
+            labels.join(nbr, labels["doc_id"] == nbr["_src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("_nl"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+        )
+        # pointer jump: component_id ← its own current label (path halving)
+        hop = stepped.select(
+            F.col("doc_id").alias("component_id"), F.col("component_id").alias("_ll")
+        )
+        jumped = (
+            stepped.join(hop, on="component_id", how="left")
+            .select(
+                "doc_id",
+                F.least(F.col("component_id"), F.coalesce("_ll", "component_id")).alias(
+                    "component_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .where(F.col("n.component_id") != F.col("o.component_id"))
+        )
+        labels = jumped
+        if changed.isEmpty():
+            return labels
+    raise RuntimeError(
+        f"duplicate_components: labels did not settle within max_rounds="
+        f"{max_rounds} (pointer jumping bounds settled path length by "
+        f"2^rounds — an unsettled graph this deep indicates corrupt pair "
+        f"input); raise max_rounds only with evidence"
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

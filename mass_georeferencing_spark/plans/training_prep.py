@@ -15,12 +15,19 @@ reusing the operator modules unchanged:
               as the HIGHER id of a verified pair
             → annotate survivors (token counts, fingerprint, pred_lang)
 
-Greedy near-dup removal is deliberate: "keep the lowest id of each verified
-pair" is one anti-join, deterministic, and order-independent, where true
-connected-component clustering needs an iterative algorithm. On chains
-(a~b, b~c, NOT a~c) it drops c even though its only surviving neighbor b is
-gone — the standard conservative trade (never keeps a near-dup pair; may
-drop slightly more than CC would).
+Two near-dup removal policies (``removal=``):
+
+- ``'greedy'`` (default): drop every doc that appears as the HIGHER id of a
+  verified pair — one anti-join, no iteration. Never keeps a verified pair,
+  and keeps a SUPERSET of what components-removal keeps (every component
+  minimum is never a higher id): on a star (a~c, b~c, NOT a~b) it keeps both
+  a and b, which are not near-dups of each other.
+- ``'components'``: transitive clustering via
+  operators/dedup.py:duplicate_components (min-label propagation with
+  pointer jumping), keep each component's minimum id. Drops more on stars/
+  chains by treating near-duplication as transitive — the policy most
+  published dedup pipelines use for web corpora, at the cost of O(log
+  diameter) iterative rounds.
 
 Scale shape (SCALE.md): the filters run in the scan stage; exact dedup is one
 hash aggregation on the fingerprint; the LSH stages are the capped banded
@@ -51,6 +58,7 @@ def prepare_training_corpus(
     min_quality: float = 70.0,
     jaccard_threshold: float = 0.5,
     lang_profile_sample: int = 200,
+    removal: str = "greedy",
 ) -> dict[str, DataFrame]:
     """Run the composed corpus-prep dataflow; returns stage frames keyed by
     name (``corpus`` is the final cleaned table)."""
@@ -74,7 +82,15 @@ def prepare_training_corpus(
     pairs = minhash_dedup_pairs(
         exact_unique.select("doc_id", "text"), threshold=jaccard_threshold
     )
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if removal == "components":
+        from ..operators.dedup import duplicate_components
+
+        comps = duplicate_components(pairs)
+        drop = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    elif removal == "greedy":
+        drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    else:  # pragma: no cover
+        raise ValueError(f"unknown removal policy {removal!r}")
     corpus = (
         exact_unique.join(drop, on="doc_id", how="left_anti")
         .withColumn("bpe_tokens", bpe_token_count(F.col("text")).cast("long"))

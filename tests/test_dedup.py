@@ -181,3 +181,73 @@ def test_degenerate_bucket_guard(spark):
     assert not any(a < 2000 for a, _ in sh_pairs)
     sh_rep = dedup.lsh_dropped_buckets(df, method="simhash", max_bucket=50).collect()
     assert sh_rep and all(r.bucket_n == 300 for r in sh_rep)
+
+
+def test_duplicate_components_structures(spark):
+    # chain, star, two disjoint components, singleton-free (only paired ids)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 30), (20, 30),            # star: 10~30, 20~30 (10 !~ 20)
+         (100, 101)],                   # disjoint pair
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.doc_id: r.component_id for r in dedup.duplicate_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 20: 10, 30: 10, 100: 100, 101: 100}
+
+
+def test_duplicate_components_matches_duckdb_closure(spark):
+    # value oracle: the distributed min-label propagation equals a DuckDB
+    # recursive-CTE transitive closure over the REAL verified minhash pairs
+    import duckdb
+
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    ppdf = pairs.select("id_a", "id_b").toPandas()
+    got = {
+        (r.doc_id, r.component_id)
+        for r in dedup.duplicate_components(pairs).collect()
+    }
+    con = duckdb.connect()
+    con.register("pairs", ppdf)
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH RECURSIVE edges AS (
+          SELECT id_a AS node, id_b AS peer FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT node, peer FROM edges
+          UNION
+          SELECT r.node, e.peer FROM reach r JOIN edges e ON e.node = r.peer)
+        SELECT node, least(node, min(peer)) AS component_id
+        FROM reach GROUP BY node
+        """
+            ).fetchall(),
+        )
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_training_prep_removal_policies(spark):
+    # greedy keeps a superset of components-removal (every component minimum
+    # is never a higher pair id); both keep-sets contain no verified pair
+    from mass_georeferencing_spark.plans.training_prep import prepare_training_corpus
+
+    from conftest import SF_DIR
+
+    g = prepare_training_corpus(spark, SF_DIR, removal="greedy")
+    c = prepare_training_corpus(spark, SF_DIR, removal="components")
+    keep_g = {r.doc_id for r in g["corpus"].select("doc_id").collect()}
+    keep_c = {r.doc_id for r in c["corpus"].select("doc_id").collect()}
+    assert keep_c <= keep_g
+    pairs = {(r.id_a, r.id_b) for r in g["near_dup_pairs"].collect()}
+    for a, b in pairs:
+        assert not (a in keep_g and b in keep_g)
+        assert not (a in keep_c and b in keep_c)
