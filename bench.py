@@ -229,6 +229,11 @@ def main() -> None:
     # every sample is published alongside the median (VERDICT r3 #5).
     # WARMUP=0 reproduces the round-1/2 single-run cold protocol exactly.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")) if warmup else 1
+    if repeats < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_BENCH_REPEATS={repeats}: a benchmark with zero timed "
+            f"runs would publish value=0.0 — fail loud instead"
+        )
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}

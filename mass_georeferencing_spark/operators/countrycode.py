@@ -70,6 +70,20 @@ def resolve_country_codes(
     commons = countries.where(F.col(common_name_col).isNotNull()).select(
         F.lower(F.col(common_name_col)).alias("_k"), F.col(code_col).alias("_cc")
     )
+    # fail-loud dim contract: the lookups replace a dict-style library index,
+    # which CANNOT fan out — duplicate lowercased keys here would silently
+    # multiply matching occurrence rows through the map join. The dim is
+    # broadcast-sized, so the probe is one tiny job per index.
+    for idx, what in ((names, name_col), (commons, common_name_col)):
+        dup = idx.groupBy("_k").count().where(F.col("count") > 1).limit(1)
+        if not dup.isEmpty():
+            k = dup.collect()[0]["_k"]
+            raise ValueError(
+                f"normalize_country_codes: countries dim has duplicate "
+                f"lowercased {what} key {k!r} — a lookup index must be "
+                f"unique or every matching occurrence row would duplicate; "
+                f"dedupe the dim (or disambiguate the colliding names) first"
+            )
     direct = (
         verb.join(F.broadcast(names), verb["_low"] == names["_k"], "left")
         .drop("_k")

@@ -336,9 +336,16 @@ def duplicate_components(
     conceivable component; hitting the rail raises rather than returning a
     half-merged labeling.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
-    ).unionByName(pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
+    edges = (
+        pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("_src"), F.col(id_a).alias("_dst")))
+        # edges is consumed every round (nbr join + changed probe); without a
+        # checkpoint each round would re-execute the WHOLE upstream pair plan
+        # — LSH banding + the Arrow Jaccard verify — ~2x per round (module
+        # rule / NOTES.md lesson 3: persist twice-consumed inputs INSIDE the
+        # operator)
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("_src").alias("doc_id"))
         .distinct()

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -352,8 +352,9 @@ def fuzzy_mean_join(
 
     Identical results to the blocked product by construction (the score is a
     pure function of the four strings; tests/test_fuzzy_join_paths.py pins
-    it). Join keys must be non-NULL — build_record_groups coalesces ``state``
-    and normalize_candidates folds NULL names/provinces to ''.
+    it, including NULL text columns): the four text columns are joined on
+    internal NULL→'' coalesced keys, matching the kernels' own fillna('') —
+    a NULL name/state is scored as '' in both paths, never silently dropped.
     ``dedup_pairs=False`` keeps the raw blocked product as the equivalence
     baseline (scores every result row; a pair-explosion at scale).
     """
@@ -369,36 +370,44 @@ def fuzzy_mean_join(
         return scored.where(F.col("score") > F.lit(threshold))
 
     parallelism = groups.sparkSession.sparkContext.defaultParallelism
-    q_d = groups.select(*block_keys, query_col, state_query_col).distinct()
-    n_d = candidates.select(*block_keys, name_col, state_cand_col).distinct()
+
+    def _nn(c: str) -> Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit(""))
+
+    g = groups.withColumn("_j2q", _nn(query_col)).withColumn("_j2s", _nn(state_query_col))
+    c = candidates.withColumn("_j2n", _nn(name_col)).withColumn("_j2p", _nn(state_cand_col))
+    q_d = g.select(*block_keys, "_j2q", "_j2s").distinct()
+    n_d = c.select(*block_keys, "_j2n", "_j2p").distinct()
     # locality kernel over distinct (block, query) × distinct (block, name):
     # generate-in-place above an explicit repartition (NOTES.md lesson 1 — a
     # compute-heavy UDF over a small-byte set must not be byte-coalesced)
     loc_scored = (
-        q_d.select(*block_keys, query_col)
+        q_d.select(*block_keys, "_j2q")
         .distinct()
         .repartition(2 * parallelism)
-        .join(F.broadcast(n_d.select(*block_keys, name_col).distinct()), on=block_keys)
-        .withColumn("_sloc", udf(F.col(query_col), F.col(name_col)))
+        .join(F.broadcast(n_d.select(*block_keys, "_j2n").distinct()), on=block_keys)
+        .withColumn("_sloc", udf(F.col("_j2q"), F.col("_j2n")))
     )
     # state kernel over the tiny distinct (state, province) cross
     st_scored = (
-        groups.select(state_query_col)
+        g.select("_j2s")
         .distinct()
-        .crossJoin(F.broadcast(candidates.select(state_cand_col).distinct()))
-        .withColumn("_sst", udf(F.col(state_query_col), F.col(state_cand_col)))
+        .crossJoin(F.broadcast(c.select("_j2p").distinct()))
+        .withColumn("_sst", udf(F.col("_j2s"), F.col("_j2p")))
     )
     # distinct 4-tuple space: attach each name's provinces and each query's
     # states (JVM-only joins), combine the two score maps, threshold BEFORE
     # any join-back
     surviving = (
-        loc_scored.join(n_d, on=[*block_keys, name_col])
-        .join(q_d, on=[*block_keys, query_col])
-        .join(F.broadcast(st_scored), on=[state_query_col, state_cand_col])
+        loc_scored.join(n_d, on=[*block_keys, "_j2n"])
+        .join(q_d, on=[*block_keys, "_j2q"])
+        .join(F.broadcast(st_scored), on=["_j2s", "_j2p"])
         .withColumn("score", (F.col("_sloc") + F.col("_sst")) / F.lit(2.0))
         .where(F.col("score") > F.lit(threshold))
         .drop("_sloc", "_sst")
     )
-    return groups.join(surviving, on=[*block_keys, query_col, state_query_col]).join(
-        candidates, on=[*block_keys, name_col, state_cand_col]
+    return (
+        g.join(surviving, on=[*block_keys, "_j2q", "_j2s"])
+        .join(c, on=[*block_keys, "_j2n", "_j2p"])
+        .drop("_j2q", "_j2s", "_j2n", "_j2p")
     )

@@ -171,8 +171,15 @@ def knn_join_broadcast(
 
     from ..functions.geo import haversine_m
 
-    probe = targets.select(target_id_col).limit(max_broadcast_targets + 1).count()
-    if probe > max_broadcast_targets:
+    # guard and collect in ONE job: limit(cap+1) bounds the materialization,
+    # len > cap proves the overflow without a separate count() pass over the
+    # targets subtree
+    rows = (
+        targets.select(target_id_col, target_lat, target_lon)
+        .limit(max_broadcast_targets + 1)
+        .collect()
+    )
+    if len(rows) > max_broadcast_targets:
         raise ValueError(
             f"knn_join_broadcast: target set exceeds max_broadcast_targets="
             f"{max_broadcast_targets} (driver collect + per-executor broadcast "
@@ -180,7 +187,6 @@ def knn_join_broadcast(
             f"target sets, or raise the cap explicitly if the deployment's "
             f"driver/executor memory allows it"
         )
-    rows = targets.select(target_id_col, target_lat, target_lon).collect()
     t_ids = [r[target_id_col] for r in rows]
     t_lat = np.array([r[target_lat] for r in rows], dtype=np.float64)
     t_lon = np.array([r[target_lon] for r in rows], dtype=np.float64)

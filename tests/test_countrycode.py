@@ -88,7 +88,15 @@ def test_f7_contract_matches_oracle(spark):
     codes = sdf.set_index("occ_id")["countrycode"]
     assert codes.notna().any() and codes.isna().any()
     assert any("," in c for c in codes.dropna())
-    assert "ZZ" not in set(codes.dropna()) or True  # ZZ rows may be overwritten
+    # unguarded-overwrite semantics: every pre-coded (occ_id % 8 == 6) row
+    # whose verbatim string also resolved for a null-code (% 8 == 0) row must
+    # carry that resolved code, not its original 'ZZ'
+    m0 = sdf[(sdf.occ_id % 8 == 0) & sdf.countrycode.notna()]
+    resolved = dict(zip(m0.countryverbatim, m0.countrycode))
+    m6 = sdf[(sdf.occ_id % 8 == 6) & sdf.countryverbatim.isin(resolved)]
+    assert len(m6) > 0, "synthetic data must exercise the overwrite branch"
+    assert (m6.countrycode == m6.countryverbatim.map(resolved)).all()
+    assert not (m6.countrycode == "ZZ").any()
 
 
 def test_f12_rounding_oracle(spark):

@@ -69,6 +69,37 @@ def test_fuzzy_mean_dedup_vs_blocked_product_equal(spark):
         assert len(dedup) > 0
 
 
+def test_fuzzy_mean_null_text_columns_not_dropped(spark):
+    # NULL name/state columns are scored as '' by the kernels in the blocked
+    # path; the dedup path must keep them too (internal NULL→'' join keys),
+    # never silently drop them through an equality join
+    from mass_georeferencing_spark.operators.fuzzy_join import fuzzy_mean_join
+
+    groups = spark.createDataFrame(
+        [("en", "alpha bravo", None), ("en", "charlie", "delta")],
+        "lang string, mention_folded string, state string",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("en", "alpha bravo", None, "u1"),   # NULL province matches NULL state ('' vs '' → 100)
+            ("en", None, "delta", "u2"),          # NULL name scores 0 vs any mention
+            ("en", "charlie", "delta", "u3"),
+        ],
+        "lang string, name_folded string, stateprovince_folded string, uid string",
+    )
+
+    def key(r):
+        return (r.mention_folded, r.uid, round(r.score, 6))
+
+    a = sorted(map(key, fuzzy_mean_join(groups, cands, dedup_pairs=True).collect()))
+    b = sorted(map(key, fuzzy_mean_join(groups, cands, dedup_pairs=False).collect()))
+    assert a == b
+    # the NULL-keyed pair (alpha bravo × u1: 100 locality, ''~'' state = 100)
+    # must survive in BOTH paths
+    assert ("alpha bravo", "u1", 100.0) in a
+    assert ("charlie", "u3", 100.0) in a
+
+
 def test_shuffle_dedup_path_equal(spark):
     # 'shuffle' dedup-pairs (no broadcast of the name side) is a pure physical
     # rewrite of the broadcast dedup path
