@@ -75,6 +75,66 @@ def quality_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_metrics(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rule family used by
+    published corpus-quality filters), joined back per doc:
+
+    - ``dup_line_frac``: fraction of non-empty trimmed lines that are
+      repeats of an earlier line (1 − distinct/total);
+    - ``dup_line_char_frac``: fraction of line characters living in lines
+      that occur more than once;
+    - ``top_2gram_char_frac``: character share of the most frequent word
+      2-gram among all 2-gram characters.
+
+    Shape: explode → per-(doc, unit) count → per-doc aggregate — linear with
+    map-side partial aggregation, never a per-doc O(units²) lambda; the only
+    shuffles key on (doc id, unit hash). Docs with no lines/2-grams get 0.0.
+    """
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    line_rows = docs.select(id_col, F.explode(lines).alias("_line"))
+    line_counts = line_rows.groupBy(id_col, "_line").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.length(F.first("_line")).alias("_len")
+    )
+    line_stats = line_counts.groupBy(id_col).agg(
+        (1 - F.count(F.lit(1)) / F.sum("_cnt")).cast("double").alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") * F.col("_len")).otherwise(0))
+            / F.sum(F.col("_cnt") * F.col("_len"))
+        ).cast("double").alias("dup_line_char_frac"),
+    )
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array())
+    gram_rows = docs.select(id_col, F.explode(grams).alias("_g"))
+    gram_counts = gram_rows.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.length(F.first("_g")).alias("_len")
+    )
+    gram_stats = gram_counts.groupBy(id_col).agg(
+        (F.max(F.col("_cnt") * F.col("_len")) / F.sum(F.col("_cnt") * F.col("_len")))
+        .cast("double")
+        .alias("top_2gram_char_frac"),
+    )
+    out = docs.join(line_stats, on=id_col, how="left").join(
+        gram_stats, on=id_col, how="left"
+    )
+    return out.withColumns(
+        {
+            c: F.round(F.coalesce(F.col(c), F.lit(0.0)), 4)
+            for c in ("dup_line_frac", "dup_line_char_frac", "top_2gram_char_frac")
+        }
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite 0-100 quality score from the metrics (heuristic banding in the
     spirit of the reference's score bands, functions.py:71-79)."""

@@ -143,3 +143,81 @@ def test_quality_score_oracle(spark):
         con.close()
     errs = compare("text_quality_score", got, want)
     assert not errs, errs
+
+
+def test_repetition_metrics_units(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),              # line 'a b' repeats
+            (2, "unique one\nunique two"),      # no repeats
+            (3, "x x x x x"),                   # 'x x' 2-gram dominates
+            (4, ""),                            # empty → zeros
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_char_frac)
+        for r in textstats.repetition_metrics(docs).collect()
+    }
+    # doc 1: 3 lines, 2 distinct → dup_line_frac=1/3; repeated-line chars 6/9;
+    # 2-grams span newlines (whitespace tokens): a-b a-b b-a b-c c-d → 'a b'
+    # carries 2·3 of 15 gram chars = 0.4
+    assert got[1] == (round(1 - 2 / 3, 4), round(6 / 9, 4), 0.4)
+    assert got[2][0] == 0.0 and got[2][1] == 0.0
+    # doc 3: all four 2-grams are 'x x' → top share 1.0; its one line repeats never
+    assert got[3] == (0.0, 0.0, 1.0)
+    assert got[4] == (0.0, 0.0, 0.0)
+
+
+def test_repetition_metrics_duckdb_twin(spark):
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    got = {
+        r.doc_id: (r.dup_line_frac, r.dup_line_char_frac, r.top_2gram_char_frac)
+        for r in textstats.repetition_metrics(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            r"""
+        WITH lines AS (
+          SELECT doc_id, trim(l) AS line
+          FROM documents, LATERAL unnest(string_split(text, chr(10))) AS t(l)
+          WHERE trim(l) <> ''),
+        lc AS (SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+               FROM lines GROUP BY 1, 2),
+        ls AS (SELECT doc_id,
+                      1 - count(*) / CAST(sum(cnt) AS DOUBLE) AS dlf,
+                      sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)
+                        / CAST(sum(cnt * len) AS DOUBLE) AS dlcf
+               FROM lc GROUP BY 1),
+        toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+          FROM toks, LATERAL unnest(range(1, greatest(len(t), 1))) AS u(i)
+          WHERE len(t) >= 2),
+        gc AS (SELECT doc_id, g, count(*) AS cnt, length(g) AS len
+               FROM grams GROUP BY 1, 2),
+        gs AS (SELECT doc_id,
+                      max(cnt * len) / CAST(sum(cnt * len) AS DOUBLE) AS tgcf
+               FROM gc GROUP BY 1)
+        SELECT d.doc_id,
+               round(coalesce(ls.dlf, 0), 4),
+               round(coalesce(ls.dlcf, 0), 4),
+               round(coalesce(gs.tgcf, 0), 4)
+        FROM documents d
+        LEFT JOIN ls ON ls.doc_id = d.doc_id
+        LEFT JOIN gs ON gs.doc_id = d.doc_id
+        """
+        ).fetchall()
+    }
+    assert len(got) == len(want) > 0
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], want[k])
