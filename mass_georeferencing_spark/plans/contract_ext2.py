@@ -3,7 +3,9 @@
 F7 country-code lookup join, F10/F11 nullif + date-probe bulk-cast (the S3
 staging-load idiom), F12 rounding, W3 ranked display order, A5 group candidate
 counts, A7 export manifest agg, A8 per-topic rollup, A10 catalog sum, U3
-union-all, J2 fuzzy mean join (rows-only), plus the S5 export star output.
+union-all, J2 fuzzy mean join (full-value fuzzy SQL oracle since round 3,
+dedup-before-score scale path since round 4), F7 verbatim-country
+normalization (round 4), plus the S5 export star output.
 """
 
 from __future__ import annotations
