@@ -108,6 +108,20 @@ def _q_a4_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A9/W5 pytest-pin oracles: the rows were retired from the 50-entry driver
+# budget in round 5 (slots given to decontam + stratified_sample); their value
+# evidence survives in tests/test_retired_rows.py against these exact twins —
+# the F12 retirement precedent.
+A9_ORACLE_SQL = (
+    "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,"
+    " count(*) AS n_docs FROM documents GROUP BY lang"
+)
+W5_ORACLE_SQL = """
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100
+"""
+
+
 def _q_a9_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A9: string_agg(DISTINCT ...) per group (export_downloads/export.R:63-72)
     return (
@@ -354,7 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carried by a4_union_dedup's dropDuplicates + w5's distinct oracle)
         "a3_collapse_localities": _q_a3_collapse_localities,
         "a4_union_dedup": _q_a4_union_dedup,
-        "a9_collect_set": _q_a9_collect_set,
+        # a9_collect_set retired round 5 (slot given to decontam): A9's
+        # string-agg is a pure builtin whose value oracle lives on in
+        # tests/test_retired_rows.py (F12 precedent)
         "f4_located_at": _q_f4_located_at,
         "gadm_alias_names": _q_gadm_alias_names,
         "f6_explode_altnames": _q_f6_explode_altnames,
@@ -362,7 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_state_contains": _q_p4_state_contains,
         "p5_prefix_match": _q_p5_prefix_match,
         "w1_topk_per_group": _q_w1_topk_per_group,
-        "w5_deterministic_sample": _q_w5_deterministic_sample,
+        # w5_deterministic_sample retired round 5 (slot given to
+        # stratified_sample, the same md5-draw mechanism generalized to
+        # per-stratum rates); W5's value oracle lives on in
+        # tests/test_retired_rows.py
         "f14_cell_assign": _q_f14_cell_assign,
         "j5_distance_band": _q_j5_distance_band,
         "j6_knn_elevation": _q_j6_knn_elevation,
@@ -415,10 +434,6 @@ def oracle_sql() -> dict[str, str]:
         "a4_union_dedup": W(
             "SELECT DISTINCT uid, name, stateprovince, data_source FROM gazetteer",
             syn.GAZETTEER_CTE,
-        ),
-        "a9_collect_set": (
-            "SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source) AS sources,"
-            " count(*) AS n_docs FROM documents GROUP BY lang"
         ),
         "f4_located_at": """
             SELECT c_custkey,
@@ -518,10 +533,6 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
               FROM orders) WHERE rnk <= 3
-        """,
-        "w5_deterministic_sample": """
-            SELECT doc_id, lang FROM documents
-            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100
         """,
         "f14_cell_assign": W(
             f"""

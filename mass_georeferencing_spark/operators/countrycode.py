@@ -1,4 +1,6 @@
-"""F7 — verbatim country-name → ISO-code normalization (full reference semantics).
+"""F7 — verbatim country-name → ISO-code normalization (effective reference
+semantics: the reference's behavior with its two pinned dead-branch/escaping
+artifacts cleaned up — see CLEANUP_PATTERN and the case-insensitivity note).
 
 Reference: database/cleanup_countrycode.py:85-122 — occurrences whose
 ``countrycode`` is NULL get one derived from the verbatim country string:

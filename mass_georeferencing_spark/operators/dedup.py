@@ -317,6 +317,7 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the verified near-dup pair graph: returns
     ``(doc_id, component_id)`` for every id appearing in ``pairs``, with
@@ -327,14 +328,21 @@ def duplicate_components(
     round every node takes ``min(own label, neighbors' labels)``, then
     compresses one pointer hop (``label ← label's label``), so convergence is
     O(log diameter) rounds, not O(diameter) — a 10^6-node duplicate chain
-    settles in ~20 rounds. Labels are monotone non-increasing and bounded by
+    settles in ~20 rounds (the 10^4-node chain fixture in tests/test_dedup.py
+    pins the round count). Labels are monotone non-increasing and bounded by
     the component minimum, so the fixpoint is exact. Per round: one shuffle
     join + aggregation on the EDGE relation (never anything pair-product
-    sized) and a ``localCheckpoint`` to truncate the iterative lineage (same
-    treatment as the kNN ring expansion). ``max_rounds`` is a fail-loud rail:
-    2^rounds bounds the reachable path length, so 40 rounds cover any
-    conceivable component; hitting the rail raises rather than returning a
-    half-merged labeling.
+    sized) and ONE ``localCheckpoint`` to truncate the iterative lineage
+    (same treatment as the kNN ring expansion) — the convergence probe rides
+    that same materialization as a ``_changed`` flag column, so it re-scans
+    the checkpoint instead of re-joining the previous round's labels.
+    ``max_rounds`` is a fail-loud rail: 2^rounds bounds the settled path
+    length, so 40 rounds cover any conceivable component; hitting the rail
+    raises rather than returning a half-merged labeling.
+
+    ``stats``, when given, receives ``{"rounds": <rounds executed>}`` — the
+    observability hook the stress fixtures use to pin the O(log diameter)
+    bound.
     """
     edges = (
         pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
@@ -352,7 +360,7 @@ def duplicate_components(
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nbr = (
             edges.join(labels, edges["_dst"] == labels["doc_id"])
             .groupBy("_src")
@@ -362,6 +370,7 @@ def duplicate_components(
             labels.join(nbr, labels["doc_id"] == nbr["_src"], "left")
             .select(
                 "doc_id",
+                F.col("component_id").alias("_old"),
                 F.least(
                     F.col("component_id"), F.coalesce(F.col("_nl"), F.col("component_id"))
                 ).alias("component_id"),
@@ -371,23 +380,24 @@ def duplicate_components(
         hop = stepped.select(
             F.col("doc_id").alias("component_id"), F.col("component_id").alias("_ll")
         )
+        final_label = F.least(F.col("component_id"), F.coalesce("_ll", "component_id"))
+        # ONE materialization per round: the convergence flag is computed
+        # against the carried-along previous label and checkpointed with the
+        # new labels, so the isEmpty probe below is a scan of this checkpoint
+        # — not another shuffle join against the previous round
         jumped = (
             stepped.join(hop, on="component_id", how="left")
             .select(
                 "doc_id",
-                F.least(F.col("component_id"), F.coalesce("_ll", "component_id")).alias(
-                    "component_id"
-                ),
+                final_label.alias("component_id"),
+                (final_label != F.col("_old")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .where(F.col("n.component_id") != F.col("o.component_id"))
-        )
-        labels = jumped
-        if changed.isEmpty():
+        labels = jumped.select("doc_id", "component_id")
+        if jumped.where(F.col("_changed")).isEmpty():
+            if stats is not None:
+                stats["rounds"] = rnd + 1
             return labels
     raise RuntimeError(
         f"duplicate_components: labels did not settle within max_rounds="
@@ -559,16 +569,37 @@ def embedding_lsh_near_dup(
     )
 
 
+MAX_UNBLOCKED_VECTORS = 50_000  # ~1.25e9 candidate pairs: the all-pairs ceiling
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    max_unblocked: int = MAX_UNBLOCKED_VECTORS,
 ) -> DataFrame:
     """Near-dup vector pairs with cosine ≥ threshold, blocked by ``block_col``
     (cluster/label/LSH bucket) so the pair space stays per-block quadratic, not
-    global. All arithmetic JVM-side."""
+    global. All arithmetic JVM-side.
+
+    ``block_col=None`` is the all-pairs equivalence baseline — an unguarded
+    crossJoin would be a pair explosion at scale, so the input is probed with
+    a bounded ``limit(cap+1).count()`` (never materializing more than the cap)
+    and an oversized unblocked call raises, naming the scale path
+    (:func:`embedding_lsh_near_dup`) — the same fail-loud seam treatment as
+    ``knn_join_broadcast`` and ``build_lang_profiles``."""
+    if block_col is None:
+        probed = embeddings.limit(max_unblocked + 1).count()
+        if probed > max_unblocked:
+            raise ValueError(
+                f"embedding_near_dup_pairs(block_col=None): input exceeds "
+                f"max_unblocked={max_unblocked} vectors — the all-pairs "
+                f"crossJoin would generate >{max_unblocked * max_unblocked // 2:,} "
+                f"candidate pairs; use embedding_lsh_near_dup (banded "
+                f"hyperplane LSH, the scale path) or pass a block_col"
+            )
     e = embeddings.withColumn("_v", F.transform(F.col(vec_col), lambda x: x.cast("double")))
     on = [block_col] if block_col else []
     a = e.select(*on, F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))

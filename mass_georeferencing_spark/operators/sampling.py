@@ -42,9 +42,14 @@ def rate_threshold_hex(rate: float) -> str:
 
 
 def sample_key(id_col: Column, salt: str) -> Column:
-    """The uniform draw: first 15 hex chars of md5(salt | id)."""
+    """The uniform draw: first 15 hex chars of md5(salt | id). NULL ids are
+    coalesced to '' BEFORE hashing — identically in :func:`sample_oracle_predicate`
+    — so the Spark/DuckDB twins agree on NULL ids too (Spark's concat_ws would
+    silently skip a NULL where DuckDB's ``||`` propagates it; ADVICE r4)."""
     return F.substring(
-        F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, _HEX_WIDTH
+        F.md5(F.concat_ws("|", F.lit(salt), F.coalesce(id_col.cast("string"), F.lit("")))),
+        1,
+        _HEX_WIDTH,
     )
 
 
@@ -81,6 +86,6 @@ def sample_oracle_predicate(
     )
     case = f"CASE {branches}ELSE '{rate_threshold_hex(default_rate)}' END"
     return (
-        f"substr(md5('{salt}' || '|' || CAST({id_col} AS VARCHAR)), 1, {_HEX_WIDTH})"
-        f" < {case}"
+        f"substr(md5('{salt}' || '|' || coalesce(CAST({id_col} AS VARCHAR), '')), "
+        f"1, {_HEX_WIDTH}) < {case}"
     )

@@ -85,8 +85,11 @@ def repetition_metrics(
       repeats of an earlier line (1 − distinct/total);
     - ``dup_line_char_frac``: fraction of line characters living in lines
       that occur more than once;
-    - ``top_2gram_char_frac``: character share of the most frequent word
-      2-gram among all 2-gram characters.
+    - ``top_2gram_char_frac``: character share (count·length) of the MOST
+      FREQUENT word 2-gram among all 2-gram characters — the Gopher rule's
+      argmax is by count, with count ties broken toward the longer gram
+      (any grams tied on both count and length contribute the same
+      count·length mass, so the value is deterministic).
 
     Shape: explode → per-(doc, unit) count → per-doc aggregate — linear with
     map-side partial aggregation, never a per-doc O(units²) lambda; the only
@@ -119,8 +122,17 @@ def repetition_metrics(
     gram_counts = gram_rows.groupBy(id_col, "_g").agg(
         F.count(F.lit(1)).alias("_cnt"), F.length(F.first("_g")).alias("_len")
     )
+    # argmax by (count, length): the most frequent gram's char mass, never a
+    # rare-but-long gram's (ADVICE r4). The two-part order is encoded as ONE
+    # BIGINT key cnt·2^32 + len (len < 2^32 always — it's a 2-gram length)
+    # because DuckDB's arg_max — the twin — only orders by scalar keys;
+    # key ties imply equal (cnt, len), hence equal cnt·len mass: deterministic.
+    order_key = F.col("_cnt") * F.lit(4294967296) + F.col("_len")
     gram_stats = gram_counts.groupBy(id_col).agg(
-        (F.max(F.col("_cnt") * F.col("_len")) / F.sum(F.col("_cnt") * F.col("_len")))
+        (
+            F.max_by(F.col("_cnt") * F.col("_len"), order_key)
+            / F.sum(F.col("_cnt") * F.col("_len"))
+        )
         .cast("double")
         .alias("top_2gram_char_frac"),
     )

@@ -10,10 +10,11 @@ profiles via generate_series+substr with the Counter.most_common
 first-occurrence tie-break reproduced as min(doc_ord, pos)), and the
 crc32-based minhash/simhash LSH pipelines via a recursive-CTE byte fold over
 the IEEE CRC-32 table plus HUGEINT splitmix64 (valid on this ASCII corpus —
-see the preamble comment at :func:`_minhash_oracle_sql`). Rows-only remain
-only j1/j2 (windowed indel DP — no tractable SQL form) and the streaming
-query; those still carry FULL value-level local oracles in
-tests/test_rowsonly_oracles.py / test_flagship_oracle.py / test_streaming.py.
+see the preamble comment at :func:`_minhash_oracle_sql`). Since round 4 no
+rows-only entries remain: the fuzzy DP rows (j1/j2) run under the
+recursive-CTE bit-parallel LCS oracle (plans/oracle_fuzzy.py) and the
+streaming row under the same kernels over its deterministic batch-equivalent
+set — every driver row is a full rows+schema+value-hash check.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cells import Y_BITS
-from ..operators import dedup, multimodal, similarity, textstats, zonal
+from ..operators import decontam, dedup, multimodal, sampling, similarity, textstats, zonal
 from ..operators.record_groups import build_record_groups, group_id
 from ..sources import synthetic as syn
 from ..sources.tables import load_table
@@ -44,6 +45,33 @@ _STOPS_SQL = "[" + ", ".join(_sql_quote(w) for w in textstats.ENGLISH_STOPWORDS)
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# decontamination benchmark: every 37th doc's text; 5-gram overlap (short
+# synthetic docs — production default is n=13). The members themselves are
+# contaminated by construction, plus every doc sharing template vocabulary.
+_DECONTAM_N = 5
+
+# corpus-mix rates for the stratified-sample contract row: downsample the
+# dominant stratum, keep a curated one whole, drop one entirely (fail-closed
+# is also the default for unlisted strata)
+_MIX_RATES = {"en": 0.6, "de": 0.3, "es": 1.0, "fr": 0.0, "zh": 0.15}
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the surviving (decontaminated) corpus — benchmark grams broadcast,
+    # semi→anti join on doc_id (operators/decontam.py)
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select("text")
+    return decontam.decontaminate(docs, bench, n=_DECONTAM_N).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic md5-threshold mix: zero shuffle, engine-portable kept-set
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.stratified_sample(docs, _MIX_RATES)
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +265,10 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries_ext() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_dedup_exact,
+        # round-5 rows (slots freed by retiring the trivial-builtin
+        # a9_collect_set and w5_deterministic_sample — see __spark_entry__):
+        "decontam": _q_decontam,
+        "stratified_sample": _q_stratified_sample,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_pairs": _q_minhash_pairs,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -655,6 +687,27 @@ def oracle_ext() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,"
             " count(*) AS n_dupes FROM documents GROUP BY md5(text)"
+        ),
+        # string-gram twin of the xxhash64 semi-join (hash injective at this
+        # scale; collisions at production scale are conservative drops)
+        "decontam": f"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            dg AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(t) >= {_DECONTAM_N}
+                     THEN list_transform(range(1, len(t) - {_DECONTAM_N} + 2),
+                       i -> array_to_string(list_slice(t, i, i + {_DECONTAM_N} - 1), ' '))
+                     ELSE [] END) AS g
+              FROM tok),
+            bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 37 = 0)
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
+        """,
+        "stratified_sample": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            + sampling.sample_oracle_predicate(_MIX_RATES)
         ),
         "dedup_ngram_jaccard": """
             WITH sh AS (

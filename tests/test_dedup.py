@@ -124,6 +124,20 @@ def test_embedding_lsh_near_dup(spark):
     assert recall >= 0.8, recall  # near-identical vectors collide in >=1 band
 
 
+def test_embedding_near_dup_unblocked_overflow_raises(spark):
+    # the unblocked all-pairs path is a guarded equivalence baseline: above
+    # the cap it must fail loud and name the scale path, never crossJoin
+    rows = [(i, [float(i), 1.0], 0) for i in range(12)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with pytest.raises(ValueError, match="embedding_lsh_near_dup"):
+        dedup.embedding_near_dup_pairs(df, block_col=None, max_unblocked=10)
+    # at/below the cap the baseline still runs
+    ok = dedup.embedding_near_dup_pairs(
+        df.limit(10), block_col=None, max_unblocked=10
+    )
+    assert ok.count() >= 0
+
+
 def test_ngram_jaccard_exact_and_blocked(spark):
     from mass_georeferencing_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -195,6 +209,44 @@ def test_duplicate_components_structures(spark):
         r.doc_id: r.component_id for r in dedup.duplicate_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 20: 10, 30: 10, 100: 100, 101: 100}
+
+
+def test_duplicate_components_chain_stress_log_rounds(spark):
+    # 10^4-node chain (diameter 10^4): min-step + path-halving must settle in
+    # O(log diameter) rounds — pinned at 2·ceil(log2 n) = 28, far below the
+    # O(diameter)=10^4 a propagation-only algorithm would need — and the
+    # max_rounds rail must fire loudly when set below the requirement.
+    import math
+    import time
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    stats: dict = {}
+    t0 = time.time()
+    got = dedup.duplicate_components(pairs, stats=stats)
+    assert got.where("component_id <> 0").count() == 0
+    assert got.count() == n
+    wall = time.time() - t0
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)), stats
+    # bench note (NOTES.md): rounds and per-round wall at this fixture size
+    print(f"chain n={n}: rounds={stats['rounds']} wall={wall:.1f}s "
+          f"({wall / stats['rounds']:.2f}s/round)")
+
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        dedup.duplicate_components(pairs, max_rounds=3)
+
+
+def test_duplicate_components_star_stress(spark):
+    # high-degree star (10^4 leaves, diameter 2): converges in O(1) rounds and
+    # the hub's label reaches every leaf; exercises the skewed-key join shape
+    # (every edge shares the hub) that a real dup-cluster hot key produces
+    n = 10_000
+    pairs = spark.range(1, n + 1).selectExpr("0 AS id_a", "id AS id_b")
+    stats: dict = {}
+    got = dedup.duplicate_components(pairs, stats=stats)
+    assert got.where("component_id <> 0").count() == 0
+    assert got.count() == n + 1
+    assert stats["rounds"] <= 3, stats
 
 
 def test_duplicate_components_matches_duckdb_closure(spark):

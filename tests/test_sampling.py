@@ -60,6 +60,27 @@ def test_salts_give_independent_samples(spark):
     assert abs(len(a & b) / n - 0.25) < 0.15
 
 
+def test_null_ids_agree_with_twin(spark):
+    # NULL ids hash as '' on BOTH engines (ADVICE r4: concat_ws skips NULLs,
+    # '||' propagates them — coalesce pins one behavior on both sides)
+    docs = spark.createDataFrame(
+        [(None, "en"), (1, "en"), (2, "en"), (3, "en")],
+        "doc_id bigint, lang string",
+    )
+    got = {
+        r.doc_id
+        for r in sampling.stratified_sample(docs, {"en": 0.5}).select("doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(NULL::BIGINT, 'en'), (1, 'en'), (2, 'en'), (3, 'en')) t(doc_id, lang)"
+    )
+    pred = sampling.sample_oracle_predicate({"en": 0.5})
+    want = {r[0] for r in con.execute(f"SELECT doc_id FROM documents WHERE {pred}").fetchall()}
+    assert got == want
+
+
 def test_default_rate_fails_closed_and_validates(spark):
     docs = _docs(spark)
     out = sampling.stratified_sample(docs, {"en": 1.0})  # others unlisted

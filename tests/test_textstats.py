@@ -169,6 +169,17 @@ def test_repetition_metrics_units(spark):
     assert got[4] == (0.0, 0.0, 0.0)
 
 
+def test_top_2gram_is_argmax_by_count_not_char_mass(spark):
+    # grams: 'a a'×2 (mass 6), 'a longword1'×1 (mass 11), 'longword1
+    # longword2'×1 (mass 19) — the Gopher rule picks the MOST FREQUENT gram
+    # ('a a', mass 6), never the rare-but-long one (mass 19); ADVICE r4
+    docs = spark.createDataFrame(
+        [(1, "a a a longword1 longword2")], "doc_id bigint, text string"
+    )
+    got = textstats.repetition_metrics(docs).collect()[0]
+    assert got.top_2gram_char_frac == round(6 / 36, 4)
+
+
 def test_repetition_metrics_duckdb_twin(spark):
     import duckdb
 
@@ -205,7 +216,8 @@ def test_repetition_metrics_duckdb_twin(spark):
         gc AS (SELECT doc_id, g, count(*) AS cnt, length(g) AS len
                FROM grams GROUP BY 1, 2),
         gs AS (SELECT doc_id,
-                      max(cnt * len) / CAST(sum(cnt * len) AS DOUBLE) AS tgcf
+                      arg_max(cnt * len, cnt * 4294967296 + len)
+                        / CAST(sum(cnt * len) AS DOUBLE) AS tgcf
                FROM gc GROUP BY 1)
         SELECT d.doc_id,
                round(coalesce(ls.dlf, 0), 4),

@@ -48,7 +48,10 @@ def run_bench(cpus: int, sf_dir: str, only: str, factor: str, bench_repeats: int
         return results[0]
     # multiple fresh-JVM runs: MERGE every steady sample across runs and take
     # the median of all of them — never a silent best-of selection (the md
-    # claims every sample is listed, so every sample must count)
+    # claims every sample is listed, so every sample must count). Cold
+    # (first-run) walls get the same treatment: one per JVM, all listed,
+    # median reported (ADVICE r4: results[0]'s cold number alone misstated
+    # the evidence as single-JVM).
     base = dict(results[0])
     merged_samples: dict[str, list[float]] = {}
     for name in base["queries"]:
@@ -64,6 +67,12 @@ def run_bench(cpus: int, sf_dir: str, only: str, factor: str, bench_repeats: int
 
     base["queries"] = {n: _median(v) for n, v in merged_samples.items()}
     base["query_samples"] = merged_samples
+    cold_names = set().union(*(r.get("cold_queries", {}) for r in results))
+    base["cold_samples"] = {
+        n: sorted(r["cold_queries"][n] for r in results if n in r.get("cold_queries", {}))
+        for n in cold_names
+    }
+    base["cold_queries"] = {n: _median(v) for n, v in base["cold_samples"].items()}
     base["value"] = round(sum(base["queries"].values()), 3)
     e2e = base["queries"].get("georeference_e2e")
     if e2e:
@@ -103,10 +112,16 @@ def main() -> None:
     def samples_of(r: dict) -> list[float]:
         return r.get("query_samples", {}).get("georeference_e2e", [r["queries"]["georeference_e2e"]])
 
+    def cold_of(r: dict):
+        cs = r.get("cold_samples", {}).get("georeference_e2e")
+        if cs:  # merged multi-JVM run: list every JVM's first-run wall
+            return cs
+        return r.get("cold_queries", {}).get("georeference_e2e", "-")
+
     rows = "\n".join(
         f"| local[{c}] | {r['n_pages']} | {r['queries']['georeference_e2e']} | "
         f"{samples_of(r)} | "
-        f"{r.get('cold_queries', {}).get('georeference_e2e', '-')} | {r['pages_per_sec']} |"
+        f"{cold_of(r)} | {r['pages_per_sec']} |"
         for c, r in sorted(results.items())
     )
     eff_str = "; ".join(f"{k} cores = {v}" for k, v in effs.items())
@@ -122,7 +137,7 @@ untimed warmup then {bench_repeats} timed steady-state runs — the median of
 ALL samples is the headline and every sample is listed (this VM shows up to
 ~2x run-to-run variance).
 
-| parallelism | pages | e2e median wall (s) | steady samples (s) | e2e first-run wall (s) | pages/sec |
+| parallelism | pages | e2e median wall (s) | steady samples (s) | e2e first-run wall per JVM (s) | pages/sec |
 |---|---|---|---|---|---|
 {rows}
 
